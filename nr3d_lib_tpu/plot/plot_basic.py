@@ -1,0 +1,66 @@
+"""Basic 2D plotting utilities (reference: nr3d_lib/plot/plot_basic.py:90-178)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["figure_to_image", "color_depth", "gallery", "draw_2dbox"]
+
+
+def figure_to_image(fig, close: bool = True) -> np.ndarray:
+    """Render a matplotlib figure to an RGB uint8 array."""
+    fig.canvas.draw()
+    buf = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8)
+    w, h = fig.canvas.get_width_height()
+    img = buf.reshape(h, w, 4)[..., :3].copy()
+    if close:
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+    return img
+
+
+def color_depth(depth, scale: Optional[float] = None, cmap: str = "turbo") -> np.ndarray:
+    """Colorize a depth map → uint8 RGB (reference: plot_basic.py depth colorization)."""
+    import matplotlib.cm as cm
+
+    depth = np.asarray(depth, dtype=np.float32)
+    if scale is None:
+        scale = max(float(np.nanmax(depth)), 1e-8)
+    normed = np.clip(depth / scale, 0.0, 1.0)
+    rgba = cm.get_cmap(cmap)(normed)
+    return (rgba[..., :3] * 255).astype(np.uint8)
+
+
+def gallery(images, ncols: int = 4, pad: int = 2, pad_value: float = 1.0) -> np.ndarray:
+    """Tile a list of [H,W,C] images into one grid image."""
+    images = [np.asarray(im) for im in images]
+    h = max(im.shape[0] for im in images)
+    w = max(im.shape[1] for im in images)
+    c = images[0].shape[2] if images[0].ndim == 3 else 1
+    n = len(images)
+    nrows = (n + ncols - 1) // ncols
+    grid = np.full((nrows * (h + pad) - pad, ncols * (w + pad) - pad, c),
+                   pad_value, dtype=images[0].dtype)
+    for i, im in enumerate(images):
+        if im.ndim == 2:
+            im = im[..., None]
+        r, col = divmod(i, ncols)
+        grid[r * (h + pad): r * (h + pad) + im.shape[0],
+             col * (w + pad): col * (w + pad) + im.shape[1]] = im
+    return grid.squeeze()
+
+
+def draw_2dbox(img: np.ndarray, xy_min, xy_max, color=(255, 0, 0), thickness: int = 1) -> np.ndarray:
+    """Draw an axis-aligned box outline on an image (in-place copy)."""
+    img = np.array(img, copy=True)
+    x0, y0 = [int(v) for v in xy_min]
+    x1, y1 = [int(v) for v in xy_max]
+    t = thickness
+    img[y0:y0 + t, x0:x1] = color
+    img[y1 - t:y1, x0:x1] = color
+    img[y0:y1, x0:x0 + t] = color
+    img[y0:y1, x1 - t:x1] = color
+    return img

@@ -1,0 +1,247 @@
+"""pack_ops tests: parity vs per-pack numpy references + grads vs jax.grad.
+
+Mirrors the reference's cross-implementation equivalence strategy
+(SURVEY.md §4: pack_ops vs kaolin sum_reduce/diff_cuda), with numpy as the
+independent reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nr3d_lib_tpu.graphics import pack_ops as po
+
+
+def make_packs(rng, n_packs=7, max_count=9, capacity=None, feat_dim=None):
+    counts = rng.integers(0, max_count, n_packs)
+    counts[0] = 0  # include an empty pack
+    total = int(counts.sum())
+    capacity = capacity or total + 5
+    ridx = np.full(capacity, n_packs, np.int32)
+    pos = 0
+    for i, c in enumerate(counts):
+        ridx[pos:pos + c] = i
+        pos += c
+    shape = (capacity,) if feat_dim is None else (capacity, feat_dim)
+    vals = rng.standard_normal(shape).astype(np.float32)
+    vals[pos:] = 0.0
+    return jnp.asarray(vals), jnp.asarray(ridx), counts, total
+
+
+def per_pack(vals, ridx, n_packs):
+    vals, ridx = np.asarray(vals), np.asarray(ridx)
+    return [vals[ridx == i] for i in range(n_packs)]
+
+
+def test_pack_infos_roundtrip(rng):
+    vals, ridx, counts, total = make_packs(rng)
+    n_packs = len(counts)
+    np.testing.assert_array_equal(np.asarray(po.counts_from_ridx(ridx, n_packs)), counts)
+    infos = po.get_pack_infos_from_n(jnp.asarray(counts))
+    np.testing.assert_array_equal(np.asarray(infos[:, 0]), np.cumsum(counts) - counts)
+    ridx2 = po.ridx_from_counts(jnp.asarray(counts), ridx.shape[0], n_packs)
+    np.testing.assert_array_equal(np.asarray(ridx2), np.asarray(ridx))
+
+
+def test_interleave(rng):
+    counts = jnp.asarray([2, 0, 3])
+    vals, ridx = po.interleave_arange_simple(counts, 8)
+    np.testing.assert_array_equal(np.asarray(vals[:5]), [0, 1, 0, 1, 2])
+    np.testing.assert_array_equal(np.asarray(ridx), [0, 0, 2, 2, 2, 3, 3, 3])
+
+    t, ridx2 = po.interleave_linstep(jnp.asarray([1.0, 5.0, 10.0]), counts,
+                                     jnp.asarray([0.5, 1.0, 2.0]), 8)
+    np.testing.assert_allclose(np.asarray(t[:5]), [1.0, 1.5, 10.0, 12.0, 14.0])
+
+
+def test_reductions(rng):
+    vals, ridx, counts, _ = make_packs(rng, feat_dim=3)
+    n_packs = len(counts)
+    groups = per_pack(vals, ridx, n_packs)
+    s = np.asarray(po.packed_sum(vals, ridx, n_packs))
+    m = np.asarray(po.packed_mean(vals, ridx, n_packs))
+    for i, g in enumerate(groups):
+        if len(g):
+            np.testing.assert_allclose(s[i], g.sum(0), rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(m[i], g.mean(0), rtol=1e-5, atol=1e-6)
+        else:
+            np.testing.assert_allclose(s[i], 0.0)
+
+
+def test_minmax(rng):
+    vals, ridx, counts, _ = make_packs(rng)
+    n_packs = len(counts)
+    mx = np.asarray(po.packed_max(vals, ridx, n_packs))
+    groups = per_pack(vals, ridx, n_packs)
+    for i, g in enumerate(groups):
+        if len(g):
+            np.testing.assert_allclose(mx[i], g.max(), rtol=1e-6)
+
+
+def test_cumsum_cumprod(rng):
+    vals, ridx, counts, _ = make_packs(rng)
+    n_packs = len(counts)
+    cs = np.asarray(po.packed_cumsum(vals, ridx))
+    cse = np.asarray(po.packed_cumsum(vals, ridx, exclusive=True))
+    cp = np.asarray(po.packed_cumprod(vals, ridx))
+    cpe = np.asarray(po.packed_cumprod(vals, ridx, exclusive=True))
+    v, r = np.asarray(vals), np.asarray(ridx)
+    for i in range(n_packs):
+        g = v[r == i]
+        if len(g) == 0:
+            continue
+        np.testing.assert_allclose(cs[r == i], np.cumsum(g), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(cse[r == i], np.cumsum(g) - g, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(cp[r == i], np.cumprod(g), rtol=1e-4, atol=1e-5)
+        excl = np.concatenate([[1.0], np.cumprod(g)[:-1]])
+        np.testing.assert_allclose(cpe[r == i], excl, rtol=1e-4, atol=1e-5)
+
+
+def test_diff(rng):
+    vals, ridx, counts, _ = make_packs(rng)
+    n_packs = len(counts)
+    d = np.asarray(po.packed_diff(vals, ridx, pad_value=-1.0))
+    bd = np.asarray(po.packed_backward_diff(vals, ridx, pad_value=-2.0))
+    v, r = np.asarray(vals), np.asarray(ridx)
+    for i in range(n_packs):
+        g = v[r == i]
+        if len(g) == 0:
+            continue
+        np.testing.assert_allclose(d[r == i][:-1], np.diff(g), rtol=1e-5, atol=1e-6)
+        assert d[r == i][-1] == -1.0
+        np.testing.assert_allclose(bd[r == i][1:], np.diff(g), rtol=1e-5, atol=1e-6)
+        assert bd[r == i][0] == -2.0
+
+
+def test_broadcast_binops(rng):
+    vals, ridx, counts, _ = make_packs(rng)
+    n_packs = len(counts)
+    pv = jnp.asarray(rng.standard_normal(n_packs).astype(np.float32))
+    out = np.asarray(po.packed_add(vals, pv, ridx, n_packs))
+    v, r = np.asarray(vals), np.asarray(ridx)
+    for i in range(n_packs):
+        np.testing.assert_allclose(out[r == i], v[r == i] + np.asarray(pv)[i], rtol=1e-6)
+    cmp = np.asarray(po.packed_gt(vals, pv, ridx, n_packs))
+    for i in range(n_packs):
+        np.testing.assert_array_equal(cmp[r == i], v[r == i] > np.asarray(pv)[i])
+
+
+def test_packed_sort(rng):
+    vals, ridx, counts, _ = make_packs(rng)
+    n_packs = len(counts)
+    payload = vals * 2.0
+    s_key, s_ridx, s_payload = po.packed_sort(vals, ridx, payload)
+    k, r, p = np.asarray(s_key), np.asarray(s_ridx), np.asarray(s_payload)
+    v0, r0 = np.asarray(vals), np.asarray(ridx)
+    for i in range(n_packs):
+        np.testing.assert_allclose(k[r == i], np.sort(v0[r0 == i]), rtol=1e-6)
+        np.testing.assert_allclose(p[r == i], 2.0 * np.sort(v0[r0 == i]), rtol=1e-6)
+    # padding stays at end
+    assert (r[np.asarray(counts).sum():] == n_packs).all()
+
+
+def test_searchsorted_and_invert_cdf(rng):
+    # two packs of sorted bins with linear cdfs
+    bins = jnp.asarray([0.0, 1.0, 2.0, 3.0, 0.0, 2.0, 4.0], jnp.float32)
+    cdfs = jnp.asarray([0.0, 0.25, 0.5, 1.0, 0.0, 0.5, 1.0], jnp.float32)
+    bins_ridx = jnp.asarray([0, 0, 0, 0, 1, 1, 1], jnp.int32)
+    u = jnp.asarray([0.1, 0.6, 0.25, 0.75], jnp.float32)
+    u_ridx = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    idx = np.asarray(po.packed_searchsorted(cdfs, bins_ridx, u, u_ridx, 2))
+    np.testing.assert_array_equal(idx, [1, 3, 5, 6])
+    t = np.asarray(po.packed_invert_cdf(bins, cdfs, bins_ridx, u, u_ridx, 2))
+    np.testing.assert_allclose(t, [0.4, 2.2, 1.0, 3.0], rtol=1e-5)
+
+
+def test_alpha_to_vw_and_grad(rng):
+    vals, ridx, counts, _ = make_packs(rng)
+    n_packs = len(counts)
+    alpha = jnp.asarray(np.clip(np.abs(np.asarray(vals)), 0, 0.9))
+    vw = np.asarray(po.packed_alpha_to_vw(alpha, ridx))
+    a, r = np.asarray(alpha), np.asarray(ridx)
+    for i in range(n_packs):
+        g = a[r == i]
+        t = np.concatenate([[1.0], np.cumprod(1 - g)[:-1]])
+        np.testing.assert_allclose(vw[r == i], g * t, rtol=1e-4, atol=1e-6)
+    # weights per pack sum to 1 - prod(1-alpha)
+    wsum = np.asarray(po.packed_sum(jnp.asarray(vw), ridx, n_packs))
+    for i in range(n_packs):
+        g = a[r == i]
+        if len(g):
+            np.testing.assert_allclose(wsum[i], 1 - np.prod(1 - g), rtol=1e-4)
+
+    # gradient check vs finite differences
+    def loss(al):
+        return (po.packed_alpha_to_vw(al, ridx) * vals).sum()
+
+    g_auto = np.asarray(jax.grad(loss)(alpha))
+    eps = 1e-3
+    a0 = np.asarray(alpha)
+    for j in [0, 1, min(5, len(a0) - 1)]:
+        ap, am = a0.copy(), a0.copy()
+        ap[j] += eps
+        am[j] -= eps
+        fd = (loss(jnp.asarray(ap)) - loss(jnp.asarray(am))) / (2 * eps)
+        np.testing.assert_allclose(g_auto[j], fd, rtol=2e-2, atol=1e-3)
+
+
+def test_volume_render_compression():
+    alpha = jnp.asarray([0.99, 0.99, 0.5, 0.1, 0.2, 0.0], jnp.float32)
+    ridx = jnp.asarray([0, 0, 0, 1, 1, 2], jnp.int32)
+    keep, vw = po.packed_volume_render_compression(alpha, ridx, 3, early_stop_eps=1e-3)
+    k = np.asarray(keep)
+    assert k[0] and k[1] and not k[2]  # transmittance after two 0.99 alphas < 1e-3
+    assert k[3] and k[4]
+
+
+def test_compactify_and_dense_roundtrip(rng):
+    vals, ridx, counts, total = make_packs(rng)
+    n_packs = len(counts)
+    keep = jnp.asarray(np.asarray(vals) > 0) & (ridx < n_packs)
+    (out,), new_ridx = po.compactify(keep, [vals], ridx, n_packs)
+    v, r, k = np.asarray(vals), np.asarray(ridx), np.asarray(keep)
+    kept_vals = v[k]
+    np.testing.assert_allclose(np.asarray(out)[:kept_vals.size], kept_vals)
+    np.testing.assert_array_equal(np.asarray(new_ridx)[:kept_vals.size], r[k])
+    assert (np.asarray(new_ridx)[kept_vals.size:] == n_packs).all()
+
+    dense, mask = po.packed_to_dense(vals, ridx, n_packs, max_per_pack=int(counts.max()) + 1)
+    flat2, ridx2 = po.dense_to_packed(dense, mask, capacity=vals.shape[0])
+    valid = np.asarray(ridx2) < n_packs
+    np.testing.assert_allclose(np.asarray(flat2)[valid], v[r < n_packs], rtol=1e-6)
+
+
+def test_merge_sorted_aligned():
+    tA = jnp.asarray([0.0, 1.0, 2.0, 0.5], jnp.float32)
+    rA = jnp.asarray([0, 0, 0, 1], jnp.int32)
+    tB = jnp.asarray([0.5, 1.5, 0.0], jnp.float32)
+    rB = jnp.asarray([0, 0, 1], jnp.int32)
+    vals, key, ridx, is_b = po.merge_two_packs_sorted_aligned(tA, tA, rA, tB, tB, rB, 2)
+    np.testing.assert_allclose(np.asarray(key), [0.0, 0.5, 1.0, 1.5, 2.0, 0.0, 0.5])
+    np.testing.assert_array_equal(np.asarray(ridx), [0, 0, 0, 0, 0, 1, 1])
+    np.testing.assert_array_equal(np.asarray(is_b), [0, 1, 0, 1, 0, 1, 0])
+
+
+def test_cumsum_grad(rng):
+    vals, ridx, counts, _ = make_packs(rng)
+
+    def loss(v):
+        return (po.packed_cumsum(v, ridx) ** 2).sum()
+
+    g = np.asarray(jax.grad(loss)(vals))
+    eps, j = 1e-3, 2
+    v0 = np.asarray(vals)
+    vp, vm = v0.copy(), v0.copy()
+    vp[j] += eps
+    vm[j] -= eps
+    fd = (loss(jnp.asarray(vp)) - loss(jnp.asarray(vm))) / (2 * eps)
+    np.testing.assert_allclose(g[j], fd, rtol=2e-2, atol=1e-3)
+
+
+def test_jit_and_vmap_compat(rng):
+    vals, ridx, counts, _ = make_packs(rng)
+    n_packs = len(counts)
+    f = jax.jit(lambda v: po.packed_sum(v, ridx, n_packs))
+    np.testing.assert_allclose(np.asarray(f(vals)),
+                               np.asarray(po.packed_sum(vals, ridx, n_packs)), rtol=1e-6)
