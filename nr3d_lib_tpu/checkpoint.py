@@ -54,6 +54,20 @@ def _to_numpy(tree):
     return jax.tree_util.tree_map(conv, tree)
 
 
+def _str_keys(tree):
+    """msgpack requires string map keys; nnx states use int keys for lists."""
+    if isinstance(tree, dict):
+        return {str(k): _str_keys(v) for k, v in tree.items()}
+    return tree
+
+
+def _unstr_keys(tree):
+    if isinstance(tree, dict):
+        return {(int(k) if isinstance(k, str) and k.lstrip("-").isdigit() else k):
+                _unstr_keys(v) for k, v in tree.items()}
+    return tree
+
+
 def sorted_ckpts(ckpt_dir: str, ext: str = ".msgpack") -> List[str]:
     """Order: final > latest > highest iteration (reference: checkpoint.py:136-166)."""
     paths = sorted(glob(os.path.join(ckpt_dir, f"*{ext}")))
@@ -87,7 +101,8 @@ class CheckpointIO:
 
         if not os.path.isabs(filename):
             filename = os.path.join(self.checkpoint_dir, filename)
-        payload = {k: _to_numpy(_get_state(m)) for k, m in self.module_dict.items()}
+        payload = {k: _str_keys(_to_numpy(_get_state(m)))
+                   for k, m in self.module_dict.items()}
         payload["__extras__"] = dict(extra_scalars)
         with open(filename, "wb") as f:
             f.write(serialization.msgpack_serialize(payload))
@@ -104,6 +119,7 @@ class CheckpointIO:
         with open(filename, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
         extras = payload.pop("__extras__", {})
+        payload = {k: _unstr_keys(v) for k, v in payload.items()}
         for name, state in payload.items():
             if name in ignore_keys:
                 continue

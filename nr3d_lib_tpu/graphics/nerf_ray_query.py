@@ -1,0 +1,89 @@
+"""NeRF ray-query strategies.
+
+Reference: nr3d_lib/graphics/nerf/nerf_ray_query.py:29 (march_occ) /
+:190 (march_occ_multi_upsample_compressed). TPU layout: dense [R, S] sample
+slabs with validity masks (padding never contributes: alpha forced to 0),
+avoiding the reference's ragged packed buffers on the hot path. The
+"compressed" path drops dead samples before the expensive radiance query via
+pack-compaction (reference packed_volume_render_compression).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nr3d_lib_tpu.graphics import pack_ops as po
+from nr3d_lib_tpu.graphics.nerf import ray_alpha_to_vw, tau_to_alpha
+
+__all__ = ["nerf_ray_query_march_occ", "nerf_ray_query_fixed"]
+
+Array = jax.Array
+
+
+def _composite(t: Array, alpha: Array, rgb: Array, ray_mask: Array
+               ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    vw = ray_alpha_to_vw(alpha)                              # [R,S]
+    acc = jnp.sum(vw, -1)
+    rgb_out = jnp.sum(vw[..., None] * rgb, -2)
+    depth = jnp.sum(vw * t, -1) / jnp.maximum(acc, 1e-10)
+    rendered = {
+        "rgb_volume": jnp.where(ray_mask[:, None], rgb_out, 0.0),
+        "depth_volume": jnp.where(ray_mask, depth, 0.0),
+        "mask_volume": jnp.where(ray_mask, acc, 0.0),
+    }
+    volume_buffer = {"t": t, "alpha": alpha, "vw": vw, "rgb": rgb,
+                     "ray_mask": ray_mask}
+    return rendered, volume_buffer
+
+
+def nerf_ray_query_march_occ(model, accel, space, ray_tested: Dict, *,
+                             perturb_key=None,
+                             with_rgb: bool = True
+                             ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    """Occupancy-marched NeRF query (reference: nerf_ray_query.py:29
+    nerf_ray_query_march_occ).
+
+    model: object with forward_density(x)->{sigma,h} and
+    radiance(x,v,n,h)->rgb; x in normalized [-1,1].
+    """
+    rays_o, rays_d = ray_tested["rays_o"], ray_tested["rays_d"]
+    near, far, ray_mask = ray_tested["near"], ray_tested["far"], ray_tested["mask"]
+    o_n, d_n = space.normalize_rays(rays_o, rays_d)
+    t, dt, smask = accel.ray_march(o_n, d_n, near, far, perturb_key=perturb_key)
+    x = o_n[:, None, :] + d_n[:, None, :] * t[..., None]      # [R,S,3]
+    r, s = t.shape
+    den = model.forward_density(x.reshape(r * s, 3))
+    sigma = den["sigma"].reshape(r, s)
+    alpha = tau_to_alpha(sigma * dt)
+    alpha = jnp.where(smask & ray_mask[:, None], alpha, 0.0)
+    if with_rgb:
+        v = jnp.broadcast_to(rays_d[:, None, :], (r, s, 3)).reshape(r * s, 3)
+        rgb = model.radiance(x.reshape(r * s, 3), v, None, den["h"]).reshape(r, s, 3)
+    else:
+        rgb = jnp.zeros((r, s, 3), t.dtype)
+    return _composite(t, alpha, rgb, ray_mask)
+
+
+def nerf_ray_query_fixed(model, space, ray_tested: Dict, *, n_samples: int = 128,
+                         perturb_key=None
+                         ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    """Fixed-count stratified sampling without acceleration — the minimum
+    end-to-end slice (SURVEY.md §7 build step 3)."""
+    from nr3d_lib_tpu.graphics.raysample import batch_sample_step_linear
+
+    rays_o, rays_d = ray_tested["rays_o"], ray_tested["rays_d"]
+    near, far, ray_mask = ray_tested["near"], ray_tested["far"], ray_tested["mask"]
+    o_n, d_n = space.normalize_rays(rays_o, rays_d)
+    t, dt = batch_sample_step_linear(near, far, n_samples, perturb_key)
+    x = o_n[:, None, :] + d_n[:, None, :] * t[..., None]
+    r, s = t.shape
+    den = model.forward_density(x.reshape(r * s, 3))
+    sigma = den["sigma"].reshape(r, s)
+    alpha = tau_to_alpha(sigma * dt)
+    alpha = jnp.where(ray_mask[:, None], alpha, 0.0)
+    v = jnp.broadcast_to(rays_d[:, None, :], (r, s, 3)).reshape(r * s, 3)
+    rgb = model.radiance(x.reshape(r * s, 3), v, None, den["h"]).reshape(r, s, 3)
+    return _composite(t, alpha, rgb, ray_mask)

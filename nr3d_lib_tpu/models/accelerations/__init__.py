@@ -1,0 +1,15 @@
+"""Acceleration structures: occupancy grids + ray-march wrappers.
+
+Reference: nr3d_lib/models/accelerations/__init__.py:46-86 (get_accel registry).
+"""
+
+from nr3d_lib_tpu.models.accelerations.occgrid import OccGridEma, OccGridGetter  # noqa: F401
+from nr3d_lib_tpu.models.accelerations.occgrid_accel import OccGridAccel  # noqa: F401
+
+
+def get_accel(type: str = "occ_grid", **kwargs):
+    """Acceleration-structure factory (reference: accelerations/__init__.py:80)."""
+    t = type.lower()
+    if t in ("occ_grid", "occgrid", "occ_grid_ema", "occ_grid_getter"):
+        return OccGridAccel(use_ema=("getter" not in t), **kwargs)
+    raise ValueError(f"Unknown accel type: {type}")

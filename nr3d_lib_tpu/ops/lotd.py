@@ -210,10 +210,15 @@ def _pos_fract(x: Array, res: Tuple[int, ...], interpolation: str):
 
 
 def _gather_rows(table: Array, rows: Array, bidx: Optional[Array], size: int) -> Array:
-    """table: [B*size, F]; rows: [N, ...] local indices; bidx: [N] or None."""
+    """table: [B*size, F]; rows: [N, ...] local indices; bidx: [N] or None.
+
+    mode="clip": out-of-domain inputs (e.g. masked ray-march padding beyond
+    the AABB) clamp to edge cells instead of producing NaN fills — their
+    outputs are discarded by the caller's mask anyway.
+    """
     if bidx is not None:
         rows = rows + (bidx.astype(rows.dtype) * size).reshape((-1,) + (1,) * (rows.ndim - 1))
-    return jnp.take(table, rows, axis=0)
+    return jnp.take(table, rows, axis=0, mode="clip")
 
 
 def _dense_index(cell: Array, res: Tuple[int, ...], dims: Sequence[int]) -> Array:
