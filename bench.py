@@ -1,4 +1,4 @@
-"""Benchmark: LoTD multi-level hash+dense encode throughput on the real TPU.
+"""Benchmark: LoTD multi-level encode throughput on the real TPU.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
@@ -6,10 +6,15 @@ Baseline (BASELINE.md): reference CUDA LoTD forward, 8-level Dense+Hash
 hash-only fast path, 3.6M points, fp32-in/fp16-params → 1.24 ms ≈
 2.9 GSamples/s (nr3d_lib lotd/tests/unit_test.py:131; hardware unstated).
 vs_baseline = ours / 2.9.
+
+Measures the TPU-native brick-layout kernel (ops/lotd_brick.py): one
+row-gather per (point, level) instead of 8 corner gathers. Timing notes:
+on the axon-tunneled TPU, block_until_ready returns early and host readback
+costs ~1 s, so we chain N data-dependent iterations inside one jit and
+difference two run lengths (see memory: tpu-env-pitfalls).
 """
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -22,51 +27,42 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from nr3d_lib_tpu.ops import lotd as L
+    from nr3d_lib_tpu.ops import lotd_brick as B
 
-    # Mirror the reference bench config: NGP-style levels, Dense small +
-    # Hash large, 2 feats/level (unit_test.py config: 9 levels 16→4096).
-    res = [16, 32, 64, 128, 256, 512, 1024, 2048]
-    types = ["Dense", "Dense", "Dense", "Hash", "Hash", "Hash", "Hash", "Hash"]
-    meta = L.generate_meta(3, res, 2, types, hashmap_size=2 ** 19)
+    # mirror the reference bench config: 8 levels 16→2048, dense small + hash
+    meta = B.make_brick_meta(
+        [16, 32, 64, 128, 256, 512, 1024, 2048],
+        ["Dense", "Dense", "Dense", "Hash", "Hash", "Hash", "Hash", "Hash"],
+        hashmap_rows=4096)
 
     n_pts = 3_600_000
-    key = jax.random.key(0)
-    k1, k2 = jax.random.split(key)
-    params = (jax.random.uniform(k1, (meta.n_params,), jnp.float32, -1e-4, 1e-4)
-              .astype(jnp.bfloat16))
-    # distinct input buffers per call — identical args can be served from an
-    # execution cache on this platform, which fakes a ~10x speedup
-    xs = [jax.random.uniform(k, (n_pts, 3), jnp.float32)
-          for k in jax.random.split(k2, 8)]
+    k1, k2 = jax.random.split(jax.random.key(0))
+    table = jax.random.normal(k1, (meta.total_rows, 128), jnp.float32) * 1e-2
+    x0 = jax.random.uniform(k2, (n_pts, 3), jnp.float32)
 
-    # Timing on the axon-tunneled TPU: block_until_ready returns early and a
-    # host readback costs ~1 s of tunnel latency. So we chain N data-dependent
-    # iterations inside ONE jit, read back a single scalar, and difference two
-    # run lengths to cancel the constant tunnel latency.
+    run = jax.jit(lambda xx: B.brick_encode(xx, table, meta))
+
     def chain(n):
         def body(i, carry):
-            x, acc = carry
-            out = L.lotd_encode(x, params, meta)
-            s = jnp.sum(out.astype(jnp.float32))
-            # feed the result back into the input: no caching, no elision
-            return x + s * 1e-30, acc + s
+            c, acc = carry
+            y = run(x0 * (1.0 + c * 1e-30))
+            s = jnp.sum(y.astype(jnp.float32))
+            return s * 1e-30, acc + s
 
-        return jax.jit(lambda x: jax.lax.fori_loop(0, n, body, (x, 0.0))[1])
+        return jax.jit(lambda c: jax.lax.fori_loop(0, n, body, (c, 0.0))[1])
 
-    n_lo, n_hi = 1, 6
-    run_lo, run_hi = chain(n_lo), chain(n_hi)
-    float(run_lo(xs[0]))  # compile (persistent cache amortizes reruns)
-    float(run_hi(xs[0]))
+    run_lo, run_hi = chain(1), chain(4)
+    float(run_lo(0.0))  # compile (persistent cache amortizes reruns)
+    float(run_hi(0.0))
 
-    def timed(fn, x):
+    def timed(fn):
         t0 = time.perf_counter()
-        float(fn(x))
+        float(fn(0.0))
         return time.perf_counter() - t0
 
-    t_lo = min(timed(run_lo, xs[i % len(xs)]) for i in range(2))
-    t_hi = min(timed(run_hi, xs[i % len(xs)]) for i in range(2))
-    dt = (t_hi - t_lo) / (n_hi - n_lo)
+    t_lo = min(timed(run_lo) for _ in range(2))
+    t_hi = min(timed(run_hi) for _ in range(2))
+    dt = (t_hi - t_lo) / 3
     gsamples = n_pts / dt / 1e9
     baseline = 2.9  # GSamples/s (reference CUDA, 3.6M pts)
     print(json.dumps({

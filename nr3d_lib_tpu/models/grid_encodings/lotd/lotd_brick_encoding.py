@@ -1,0 +1,90 @@
+"""LoTDBrickEncoding — module wrapper over the brick-layout fast path.
+
+Drop-in alternative to `LoTDEncoding` for Dense/Hash configurations: same
+[-1,1] input convention and feature layout, backed by `ops/lotd_brick.py`
+(one row-gather per point per level — see memory: lotd-brick-design).
+
+Parameters:
+  * dense levels: canonical vertex grids (C0-tied, exactly reference Dense);
+  * hash levels: brick rows directly.
+Stored as one flattened vector for checkpoint/optimizer parity with
+`LoTDEncoding.flattened_params`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from nr3d_lib_tpu.ops import lotd_brick as B
+
+__all__ = ["LoTDBrickEncoding"]
+
+Array = jax.Array
+
+
+class LoTDBrickEncoding(nnx.Module):
+    def __init__(self, input_ch: int = 3, *,
+                 lod_res: Sequence, lod_types: Sequence[str],
+                 hashmap_rows: int = 4096,
+                 param_init_std: float = 1e-4,
+                 use_pallas: bool = True,
+                 seed: int = 42, param_dtype=jnp.float32):
+        assert input_ch == 3, "brick backend is 3D"
+        self.meta = B.make_brick_meta(lod_res, lod_types, hashmap_rows)
+        self.use_pallas = use_pallas
+        self.in_features = 3
+        self.out_features = self.meta.out_features
+
+        # canonical parameter layout: [dense vertex grids..., hash rows...]
+        sizes: List[int] = []
+        self._dense_levels: List[int] = []
+        for i, lv in enumerate(self.meta.levels):
+            if lv.kind == "dense":
+                sizes.append(int(np.prod(lv.res)) * B.N_FEAT)
+                self._dense_levels.append(i)
+            else:
+                sizes.append(lv.n_rows * B.LANES)
+        self._param_offsets = np.concatenate([[0], np.cumsum(sizes)])
+        n_params = int(self._param_offsets[-1])
+        key = jax.random.key(seed)
+        self.flattened_params = nnx.Param(
+            jax.random.uniform(key, (n_params,), param_dtype,
+                               -param_init_std, param_init_std))
+
+    @property
+    def n_params(self) -> int:
+        return int(self._param_offsets[-1])
+
+    def level_params(self, i: int) -> Array:
+        o = self._param_offsets
+        return self.flattened_params[...][o[i]:o[i + 1]]
+
+    def _build_table(self) -> Array:
+        """Materialize the [total_rows, 128] brick table (differentiable —
+        dense boundary vertices stay tied)."""
+        rows = []
+        for i, lv in enumerate(self.meta.levels):
+            p = self.level_params(i)
+            if lv.kind == "dense":
+                rows.append(B.materialize_dense_brick_table(p, lv))
+            else:
+                rows.append(p.reshape(lv.n_rows, B.LANES))
+        return jnp.concatenate(rows, axis=0)
+
+    def __call__(self, x: Array) -> Array:
+        """x in [-1,1] → [N, 2·L] (kernel space is [0,1] like the reference)."""
+        table = self._build_table()
+        return B.brick_encode(x * 0.5 + 0.5, table, self.meta, self.use_pallas)
+
+    forward = __call__
+
+    def state_dict(self):
+        return {"flattened_params": self.flattened_params[...]}
+
+    def load_state_dict(self, sd):
+        self.flattened_params[...] = jnp.asarray(sd["flattened_params"])

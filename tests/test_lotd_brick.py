@@ -1,0 +1,153 @@
+"""Brick-layout LoTD tests (CPU: XLA path + interpret-mode parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nr3d_lib_tpu.ops import lotd_brick as B
+from nr3d_lib_tpu.ops import lotd as L
+
+
+def test_meta_and_layout():
+    meta = B.make_brick_meta([16, 32, 2048], ["Dense", "Dense", "Hash"],
+                             hashmap_rows=4096)
+    assert meta.levels[0].bricks_per_axis == (5, 5, 5)
+    assert meta.levels[0].n_rows == 125
+    assert meta.levels[2].kind == "hash" and meta.levels[2].n_rows == 4096
+    assert meta.levels[1].row_offset == 125
+    assert meta.out_features == 6
+
+
+def test_dense_brick_matches_classic_dense(rng):
+    """With the brick table materialized from canonical vertex params, the
+    dense brick encode must equal the classic Dense LoTD bit-for-bit."""
+    res = 16
+    classic = L.generate_meta(3, [res], 2, "Dense")
+    vparams = jnp.asarray(rng.standard_normal(classic.n_params))
+
+    bmeta = B.make_brick_meta([res], ["Dense"])
+    table = B.materialize_dense_brick_table(vparams, bmeta.levels[0])
+    assert table.shape == (bmeta.levels[0].n_rows, 128)
+
+    x = jnp.asarray(rng.uniform(0.01, 0.99, (64, 3)))
+    y_classic = L.lotd_encode(x, vparams, classic)
+    y_brick = B.brick_encode_xla(x, table, bmeta)
+    np.testing.assert_allclose(np.asarray(y_brick), np.asarray(y_classic),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_brick_encode_continuity_dense(rng):
+    """Dense-from-canonical must be continuous across brick boundaries."""
+    res = 16
+    bmeta = B.make_brick_meta([res], ["Dense"])
+    vparams = jnp.asarray(rng.standard_normal(res ** 3 * 2))
+    table = B.materialize_dense_brick_table(vparams, bmeta.levels[0])
+    # boundary between cells 2 and 3 (brick 0 → 1) at v = 3.5/(res-2)... walk x
+    scale = res - 2
+    x_b = (3.0 - 0.5) / scale  # cell boundary where cell jumps 2→3
+    eps = 1e-5
+    for xb in [x_b, (6.0 - 0.5) / scale]:
+        xm = jnp.asarray([[xb - eps, 0.41, 0.73]])
+        xp = jnp.asarray([[xb + eps, 0.41, 0.73]])
+        ym = B.brick_encode_xla(xm, table, bmeta)
+        yp = B.brick_encode_xla(xp, table, bmeta)
+        np.testing.assert_allclose(np.asarray(ym), np.asarray(yp), atol=1e-3)
+
+
+def test_grads_flow_to_canonical_params(rng):
+    res = 16
+    bmeta = B.make_brick_meta([res], ["Dense"])
+    vparams = jnp.asarray(rng.standard_normal(res ** 3 * 2))
+    x = jnp.asarray(rng.uniform(0.05, 0.95, (16, 3)))
+
+    def loss(p):
+        table = B.materialize_dense_brick_table(p, bmeta.levels[0])
+        return (B.brick_encode(x, table, bmeta, False) ** 2).sum()
+
+    g = np.asarray(jax.grad(loss)(vparams))
+    assert np.isfinite(g).all() and (np.abs(g) > 0).any()
+    # finite diff
+    eps = 1e-6
+    p0 = np.asarray(vparams)
+    nz = np.nonzero(np.abs(g) > 1e-3)[0]
+    for j in nz[:3]:
+        pp, pm = p0.copy(), p0.copy()
+        pp[j] += eps
+        pm[j] -= eps
+        fd = (loss(jnp.asarray(pp)) - loss(jnp.asarray(pm))) / (2 * eps)
+        np.testing.assert_allclose(g[j], fd, rtol=1e-4, atol=1e-7)
+
+
+def test_hash_level_basic(rng):
+    bmeta = B.make_brick_meta([256], ["Hash"], hashmap_rows=512)
+    table = jnp.asarray(rng.standard_normal((bmeta.total_rows, 128)) * 0.1)
+    x = jnp.asarray(rng.uniform(0.01, 0.99, (32, 3)))
+    y = B.brick_encode_xla(x, table, bmeta)
+    assert y.shape == (32, 2)
+    assert np.isfinite(np.asarray(y)).all()
+    # same x twice → same features (function of position)
+    y2 = B.brick_encode_xla(x, table, bmeta)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2))
+    # gradient to x exists (interpolation)
+    g = jax.grad(lambda xx: B.brick_encode_xla(xx, table, bmeta).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_second_order_through_brick(rng):
+    """Eikonal-style: grad of grad-norm wrt table must be finite/nonzero
+    (backward is the XLA formulation → all orders available)."""
+    bmeta = B.make_brick_meta([16], ["Dense"])
+    table = jnp.asarray(rng.standard_normal((bmeta.total_rows, 128)) * 0.1)
+    x = jnp.asarray(rng.uniform(0.1, 0.9, (8, 3)))
+
+    def eik(t):
+        def f(xx):
+            return B.brick_encode(xx, t, bmeta, False).sum()
+
+        nab = jax.grad(f)(x)
+        return ((jnp.linalg.norm(nab, axis=-1) - 1.0) ** 2).sum()
+
+    g = np.asarray(jax.grad(eik)(table))
+    assert np.isfinite(g).all() and (np.abs(g) > 0).any()
+
+
+def test_pallas_kernel_interpret_mode(rng):
+    """Run the Pallas kernel in interpreter mode on CPU and compare vs XLA."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    bmeta = B.make_brick_meta([16, 64], ["Dense", "Hash"], hashmap_rows=256)
+    table = jnp.asarray(rng.standard_normal((bmeta.total_rows, 128))
+                        .astype(np.float32))
+    x = jnp.asarray(rng.uniform(0.01, 0.99, (300, 3)).astype(np.float32))
+    y_ref = B.brick_encode_xla(x, table, bmeta)
+    with pltpu.force_tpu_interpret_mode():
+        y_k = B._brick_encode_pallas(x, table, bmeta, tile=256)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_brick_encoding_module(rng):
+    from nr3d_lib_tpu.models.grid_encodings.lotd.lotd_brick_encoding import (
+        LoTDBrickEncoding)
+
+    enc = LoTDBrickEncoding(3, lod_res=[16, 128], lod_types=["Dense", "Hash"],
+                            hashmap_rows=256, use_pallas=False, seed=3)
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, (32, 3)).astype(np.float32))
+    y = enc(x)
+    assert y.shape == (32, 4) and np.isfinite(np.asarray(y)).all()
+
+    # gradient flows into both dense canonical and hash rows
+    import flax.nnx as nnx
+
+    graphdef, params, rest = nnx.split(enc, nnx.Param, ...)
+
+    def loss(p):
+        m = nnx.merge(graphdef, p, rest)
+        return (m(x) ** 2).sum()
+
+    g = jax.tree_util.tree_leaves(jax.grad(loss)(params))[0]
+    g = np.asarray(g)
+    o = enc._param_offsets
+    assert (np.abs(g[o[0]:o[1]]) > 0).any(), "dense level got no grad"
+    assert (np.abs(g[o[1]:o[2]]) > 0).any(), "hash level got no grad"
