@@ -1,0 +1,182 @@
+"""Dynamic (time-varying) fields.
+
+Reference: nr3d_lib/models/fields_dynamic/ —
+DynamicPermutoConcatSDF/NeuS (t concatenated into the permuto input,
+dynamic_permuto_sdf.py:546 / dynamic_permuto_neus.py:248) and
+EmerNeRF (emernerf.py:62-1375: static branch + dynamic branch + optional
+flow field + shadow head, time embeddings).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from nr3d_lib_tpu.models.blocks import MLP
+from nr3d_lib_tpu.models.fields.nerf import RadianceNet, trunc_exp
+from nr3d_lib_tpu.models.fields.neus import get_neus_var_ctrl
+from nr3d_lib_tpu.models.grid_encodings.lotd import LoTDEncoding
+from nr3d_lib_tpu.ops import permuto as _permuto
+
+__all__ = ["DynamicPermutoConcatSDF", "DynamicPermutoConcatNeuS", "EmerNeRF"]
+
+Array = jax.Array
+
+
+class DynamicPermutoConcatSDF(nnx.Module):
+    """SDF over (x, t) via 4D permuto (reference: dynamic_permuto_sdf.py:546)."""
+
+    def __init__(self, *, permuto_cfg: Optional[dict] = None,
+                 decoder_cfg: Optional[dict] = None,
+                 n_geo_feat: int = 15, seed: int = 0):
+        cfg = dict(permuto_cfg or {})
+        cfg.setdefault("res_list", [8.0, 16.0, 32.0, 64.0, 128.0])
+        cfg.setdefault("n_feats", 2)
+        cfg.setdefault("log2_hashmap_size", 17)
+        self.meta = _permuto.make_permuto_meta(
+            4, cfg["res_list"], cfg["n_feats"], cfg["log2_hashmap_size"])
+        self.flattened_params = nnx.Param(
+            jax.random.uniform(jax.random.key(seed), (self.meta.n_params,),
+                               jnp.float32, -1e-4, 1e-4))
+        dec = dict(decoder_cfg or {})
+        dec.setdefault("D", 1)
+        dec.setdefault("W", 64)
+        self.decoder = MLP(self.meta.out_features + 3, 1 + n_geo_feat, **dec,
+                           seed=seed + 1)
+        self.n_geo_feat = n_geo_feat
+
+    def _sdf_h(self, x: Array, ts: Array) -> Array:
+        ts = jnp.broadcast_to(jnp.asarray(ts).reshape(-1, 1)
+                              if jnp.ndim(ts) <= 1 else ts,
+                              x.shape[:-1] + (1,))
+        inp = jnp.concatenate([x * 0.5 + 0.5, ts * 0.5 + 0.5], -1)
+        h = _permuto.permuto_encode(inp, self.flattened_params[...], self.meta)
+        return self.decoder(jnp.concatenate([x, h], -1))
+
+    def forward_sdf(self, x: Array, ts: Array) -> Dict[str, Array]:
+        out = self._sdf_h(x, ts)
+        return {"sdf": out[..., 0], "h": out[..., 1:]}
+
+    def forward_sdf_nablas(self, x: Array, ts: Array) -> Dict[str, Array]:
+        def f(xx):
+            out = self._sdf_h(xx, ts)
+            return out[..., 0], out[..., 1:]
+
+        (sdf, h), vjp_fn = jax.vjp(f, x)
+        nablas = vjp_fn((jnp.ones_like(sdf), jnp.zeros_like(h)))[0]
+        return {"sdf": sdf, "h": h, "nablas": nablas}
+
+
+class DynamicPermutoConcatNeuS(nnx.Module):
+    """(reference: dynamic_permuto_neus.py:248 + NeusRendererMixinDynamic)"""
+
+    def __init__(self, *, surface_cfg: Optional[dict] = None,
+                 radiance_cfg: Optional[dict] = None,
+                 var_ctrl_cfg: Optional[dict] = None, seed: int = 0):
+        self.implicit_surface = DynamicPermutoConcatSDF(**(surface_cfg or {}),
+                                                        seed=seed)
+        self.radiance = RadianceNet(
+            n_extra_feat=self.implicit_surface.n_geo_feat, use_nablas=True,
+            use_pos=True, **(radiance_cfg or {}), seed=seed + 1)
+        self.var_ctrl = get_neus_var_ctrl(**(var_ctrl_cfg or {"type": "learned"}))
+
+    def forward_inv_s(self):
+        return self.var_ctrl.inv_s()
+
+    def __call__(self, x: Array, v: Array, ts: Array,
+                 with_rgb: bool = True) -> Dict[str, Array]:
+        out = self.implicit_surface.forward_sdf_nablas(x, ts)
+        if with_rgb:
+            out["rgb"] = self.radiance(x, v, out["nablas"], out["h"])
+        return out
+
+
+class EmerNeRF(nnx.Module):
+    """Static + dynamic + flow decomposition (reference: emernerf.py:62-1375
+    EmerNeRF — static branch, time-conditioned dynamic branch, optional
+    scene-flow field for temporal aggregation, shadow head).
+
+    Heads: static (σ_s, rgb_s), dynamic (σ_d, rgb_d) over (x, t) permuto,
+    flow (forward/backward scene flow), shadow (scalar factor on static rgb).
+    Densities compose additively; rgb blends by density ratio
+    (emernerf.py:528,974 composition).
+    """
+
+    def __init__(self, *, static_cfg: Optional[dict] = None,
+                 dynamic_permuto_cfg: Optional[dict] = None,
+                 use_flow: bool = True, use_shadow: bool = True,
+                 n_geo_feat: int = 15, seed: int = 0):
+        scfg = dict(static_cfg or {})
+        scfg.setdefault("lotd_cfg", {
+            "lod_res": [16, 32, 64, 128], "lod_n_feats": 2,
+            "lod_types": ["Dense", "Dense", "Hash", "Hash"],
+            "hashmap_size": 2 ** 15})
+        self.static_encoding = LoTDEncoding(3, lotd_cfg=scfg["lotd_cfg"],
+                                            seed=seed)
+        self.static_decoder = MLP(self.static_encoding.out_features,
+                                  1 + n_geo_feat, D=1, W=64, seed=seed + 1)
+
+        dcfg = dict(dynamic_permuto_cfg or {})
+        dcfg.setdefault("res_list", [8.0, 16.0, 32.0, 64.0])
+        dcfg.setdefault("n_feats", 2)
+        dcfg.setdefault("log2_hashmap_size", 16)
+        self.dyn_meta = _permuto.make_permuto_meta(
+            4, dcfg["res_list"], dcfg["n_feats"], dcfg["log2_hashmap_size"])
+        self.dyn_params = nnx.Param(
+            jax.random.uniform(jax.random.key(seed + 2),
+                               (self.dyn_meta.n_params,), jnp.float32,
+                               -1e-4, 1e-4))
+        self.dyn_decoder = MLP(self.dyn_meta.out_features, 1 + n_geo_feat,
+                               D=1, W=64, seed=seed + 3)
+
+        self.static_radiance = RadianceNet(n_extra_feat=n_geo_feat,
+                                           seed=seed + 4)
+        self.dyn_radiance = RadianceNet(n_extra_feat=n_geo_feat, seed=seed + 5)
+        self.use_flow = use_flow
+        self.use_shadow = use_shadow
+        if use_flow:
+            # (x, t) → forward+backward scene flow (emernerf.py flow field)
+            self.flow_mlp = MLP(self.dyn_meta.out_features, 6, D=2, W=64,
+                                seed=seed + 6)
+        if use_shadow:
+            self.shadow_mlp = MLP(n_geo_feat, 1, D=1, W=32,
+                                  output_activation="sigmoid", seed=seed + 7)
+
+    def _dyn_feats(self, x: Array, ts: Array) -> Array:
+        ts = jnp.broadcast_to(jnp.asarray(ts).reshape(-1, 1)
+                              if jnp.ndim(ts) <= 1 else ts,
+                              x.shape[:-1] + (1,))
+        inp = jnp.concatenate([x * 0.5 + 0.5, ts * 0.5 + 0.5], -1)
+        return _permuto.permuto_encode(inp, self.dyn_params[...], self.dyn_meta)
+
+    def query_flow(self, x: Array, ts: Array) -> Dict[str, Array]:
+        h = self._dyn_feats(x, ts)
+        fl = self.flow_mlp(h)
+        return {"flow_fwd": fl[..., :3], "flow_bwd": fl[..., 3:]}
+
+    def __call__(self, x: Array, v: Optional[Array], ts: Array,
+                 with_rgb: bool = True) -> Dict[str, Array]:
+        hs = self.static_decoder(self.static_encoding(x))
+        sigma_s = trunc_exp(hs[..., 0])
+        hd_feat = self._dyn_feats(x, ts)
+        hd = self.dyn_decoder(hd_feat)
+        sigma_d = trunc_exp(hd[..., 0])
+        sigma = sigma_s + sigma_d
+        out = {"sigma": sigma, "sigma_static": sigma_s, "sigma_dynamic": sigma_d}
+        if with_rgb:
+            rgb_s = self.static_radiance(x, v, None, hs[..., 1:])
+            if self.use_shadow:
+                shadow = self.shadow_mlp(hd[..., 1:])
+                rgb_s = rgb_s * (1.0 - shadow)
+                out["shadow"] = shadow[..., 0]
+            rgb_d = self.dyn_radiance(x, v, None, hd[..., 1:])
+            ratio = (sigma_d / jnp.maximum(sigma, 1e-8))[..., None]
+            out["rgb"] = rgb_s * (1 - ratio) + rgb_d * ratio
+            out["rgb_static"] = rgb_s
+            out["rgb_dynamic"] = rgb_d
+        if self.use_flow:
+            out.update(self.query_flow(x, ts))
+        return out

@@ -1,0 +1,75 @@
+"""PermutoEncoding module (reference: permuto_encoding.py:27 PermutoEncoding).
+
+Input in [-1,1]^D (mapped to the lattice's [0,1] space); owns flat params;
+supports anneal window / max_level like LoTDEncoding.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from nr3d_lib_tpu.models.annealers import MultiresAnnealer
+from nr3d_lib_tpu.ops import permuto as _permuto
+
+__all__ = ["PermutoEncoding"]
+
+Array = jax.Array
+
+
+class PermutoEncoding(nnx.Module):
+    def __init__(self, input_ch: int = 3, *,
+                 coarsest_res: float = 16.0, finest_res: float = 2048.0,
+                 n_levels: int = 16, n_feats: int = 2,
+                 log2_hashmap_size: int = 18,
+                 res_list: Optional[Sequence] = None,
+                 anneal_cfg: Optional[dict] = None,
+                 param_init_std: float = 1e-4,
+                 seed: int = 42, param_dtype=jnp.float32):
+        if res_list is None:
+            growth = (finest_res / coarsest_res) ** (1.0 / max(n_levels - 1, 1))
+            res_list = [coarsest_res * growth ** l for l in range(n_levels)]
+        self.meta = _permuto.make_permuto_meta(
+            input_ch, res_list, n_feats, log2_hashmap_size)
+        self.in_features = input_ch
+        self.out_features = self.meta.out_features
+        key = jax.random.key(seed)
+        self.flattened_params = nnx.Param(
+            jax.random.uniform(key, (self.meta.n_params,), param_dtype,
+                               -param_init_std, param_init_std))
+        self.annealer = MultiresAnnealer(self.meta.n_levels, **anneal_cfg) \
+            if anneal_cfg else None
+        self.max_level: Optional[int] = None
+        self.level_weights = None
+
+    def set_anneal_iter(self, it: int):
+        if self.annealer is not None:
+            self.max_level, w = self.annealer(it)
+            self.level_weights = None if w is None else jnp.asarray(w)
+
+    def __call__(self, x: Array, max_level: Optional[int] = None) -> Array:
+        ml = max_level if max_level is not None else self.max_level
+        return _permuto.permuto_encode(x * 0.5 + 0.5, self.flattened_params[...],
+                                       self.meta, level_weights=self.level_weights,
+                                       max_level=ml)
+
+    forward = __call__
+
+    def forward_dydx(self, x: Array) -> Tuple[Array, Array]:
+        y, dydx = _permuto.permuto_enc_fwd_dydx(
+            x * 0.5 + 0.5, self.flattened_params[...], self.meta,
+            level_weights=self.level_weights, max_level=self.max_level)
+        return y, dydx * 0.5
+
+    def backward_dydx(self, dL_dy: Array, dy_dx: Array, x: Array = None) -> Array:
+        return _permuto.permuto_enc_bwd_dydx(dL_dy, dy_dx)
+
+    def state_dict(self):
+        return {"flattened_params": self.flattened_params[...]}
+
+    def load_state_dict(self, sd):
+        self.flattened_params[...] = jnp.asarray(sd["flattened_params"])

@@ -1,0 +1,180 @@
+"""Tests: forest, conditional (generative/style), dynamic (incl EmerNeRF),
+distant-background model families."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_forest_space_population_and_mapping(rng):
+    from nr3d_lib_tpu.models.spatial.forest import ForestBlockSpace
+
+    sp = ForestBlockSpace(resolution=(4, 4, 4), origin=(-1, -1, -1),
+                          block_size=0.5)
+    sp.populate_from_corners([[0, 0, 0], [1, 1, 1], [3, 3, 3]])
+    assert sp.n_trees == 3
+    # point in block (1,1,1): world [-0.5,0)³ + ... block (1,1,1) spans
+    # [-0.5, 0)^3
+    slot = sp.block_of_points(jnp.asarray([[-0.25, -0.25, -0.25],
+                                           [0.9, 0.9, 0.9],
+                                           [0.2, 0.2, 0.2]]))
+    s = np.asarray(slot)
+    assert s[0] == 1 and s[1] == 2 and s[2] == -1  # block (2,2,2) not occupied
+    # local coords roundtrip: center of block → 0
+    x = jnp.asarray([[-0.25, -0.25, -0.25]])
+    loc = sp.normalize_coords(x, jnp.asarray([1]))
+    np.testing.assert_allclose(np.asarray(loc), 0.0, atol=1e-6)
+
+    sp2 = ForestBlockSpace(resolution=(4, 4, 4), origin=(-1, -1, -1),
+                           block_size=0.5)
+    sp2.populate_from_points(rng.uniform(-1, 1, (100, 3)))
+    assert sp2.n_trees > 10
+
+
+def test_forest_ray_march_blocks():
+    from nr3d_lib_tpu.models.spatial.forest import ForestBlockSpace
+
+    sp = ForestBlockSpace(resolution=(4, 1, 1), origin=(-1, 0, 0),
+                          block_size=0.5)
+    sp.populate_from_corners([[0, 0, 0], [2, 0, 0]])  # x∈[-1,-.5] and [0,.5]
+    o = jnp.asarray([[-2.0, 0.25, 0.25]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    rt = sp.ray_test(o, d)
+    assert bool(rt["mask"][0])
+    t, dt, bidx, mask = sp.ray_march_blocks(o, d, rt["near"], rt["far"],
+                                            n_steps=64, step_size=2 / 64)
+    xs = np.asarray(o[0, 0] + t[0])
+    m = np.asarray(mask[0])
+    b = np.asarray(bidx[0])
+    # samples in [-1,-0.5] → block 0; [0,0.5] → block 1; between → masked out
+    in_b0 = (xs > -0.99) & (xs < -0.51)
+    in_gap = (xs > -0.45) & (xs < -0.05)
+    assert m[in_b0].all() and (b[in_b0] == 0).all()
+    assert not m[in_gap].any()
+
+
+def test_forest_neus_model_query_and_grads():
+    from nr3d_lib_tpu.models.fields_forest import LoTDForestNeuSModel
+    from flax import nnx
+
+    model = LoTDForestNeuSModel(
+        space_cfg={"resolution": (2, 2, 2), "origin": (-1, -1, -1),
+                   "block_size": 1.0},
+        field_cfg={"surface_cfg": {
+            "lotd_cfg": {"lod_res": [6], "lod_n_feats": 2, "lod_types": "Dense"},
+            "decoder_cfg": {"D": 1, "W": 16}},
+            "radiance_cfg": {"D": 1, "W": 16}},
+        n_march_steps=48)
+    o = jnp.asarray([[-2.0, 0.1, 0.1], [2.0, 0.3, -0.2]])
+    d = jnp.asarray([[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]])
+    rt = model.ray_test(o, d)
+    rendered, vb = model.ray_query(rt, key=jax.random.key(0))
+    assert np.isfinite(np.asarray(rendered["rgb_volume"])).all()
+    assert rendered["rgb_volume"].shape == (2, 3)
+
+    # per-block params get gradients
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+
+    def loss(p):
+        m = nnx.merge(graphdef, p, rest)
+        r, _ = m.ray_query(m.ray_test(o, d), key=jax.random.key(0))
+        return jnp.sum(r["rgb_volume"] ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = {"/".join(str(getattr(pp, "key", getattr(pp, "idx", pp)))
+                       for pp in path): leaf
+              for path, leaf in jax.tree_util.tree_leaves_with_path(g)}
+    enc_g = [v for k, v in leaves.items() if "flattened_params" in k][0]
+    assert float(jnp.abs(enc_g).max()) > 0
+
+
+def test_generative_permuto_sdf(rng):
+    from nr3d_lib_tpu.models.fields_conditional import GenerativePermutoConcatNeuS
+
+    model = GenerativePermutoConcatNeuS(
+        z_dim=2, surface_cfg={"permuto_cfg": {"res_list": [4.0, 8.0],
+                                              "log2_hashmap_size": 10},
+                              "decoder_cfg": {"D": 1, "W": 16}},
+        radiance_cfg={"D": 1, "W": 16})
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, (16, 3)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((16, 3)).astype(np.float32))
+    z1 = jnp.zeros((2,), jnp.float32)
+    z2 = jnp.ones((2,), jnp.float32)
+    o1 = model(x, v, z1)
+    o2 = model(x, v, z2)
+    assert o1["sdf"].shape == (16,)
+    assert not np.allclose(np.asarray(o1["sdf"]), np.asarray(o2["sdf"])), \
+        "latent must condition the SDF"
+    assert np.isfinite(np.asarray(o1["nablas"])).all()
+
+
+def test_style_lotd_sdf_grower(rng):
+    from nr3d_lib_tpu.models.fields_conditional import StyleLoTDSDF
+
+    sdf = StyleLoTDSDF(z_dim=8, lotd_cfg={"lod_res": [6], "lod_n_feats": 2,
+                                          "lod_types": "Dense"},
+                       grower_cfg={"D": 1, "W": 32},
+                       decoder_cfg={"D": 1, "W": 16})
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, (12, 3)).astype(np.float32))
+    z = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    bidx = jnp.asarray([0, 1] * 6, jnp.int32)
+    out = sdf.forward_sdf(x, z, bidx)
+    assert out["sdf"].shape == (12,)
+    # instances differ
+    out0 = sdf.forward_sdf(x, z, jnp.zeros(12, jnp.int32))
+    out1 = sdf.forward_sdf(x, z, jnp.ones(12, jnp.int32))
+    assert not np.allclose(np.asarray(out0["sdf"]), np.asarray(out1["sdf"]))
+
+
+def test_dynamic_permuto_neus(rng):
+    from nr3d_lib_tpu.models.fields_dynamic import DynamicPermutoConcatNeuS
+
+    model = DynamicPermutoConcatNeuS(
+        surface_cfg={"permuto_cfg": {"res_list": [4.0, 8.0],
+                                     "log2_hashmap_size": 10},
+                     "decoder_cfg": {"D": 1, "W": 16}},
+        radiance_cfg={"D": 1, "W": 16})
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, (8, 3)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((8, 3)).astype(np.float32))
+    o_t0 = model(x, v, jnp.zeros(8))
+    o_t1 = model(x, v, jnp.full((8,), 0.7))
+    assert not np.allclose(np.asarray(o_t0["sdf"]), np.asarray(o_t1["sdf"])), \
+        "time must condition the SDF"
+
+
+def test_emernerf(rng):
+    from nr3d_lib_tpu.models.fields_dynamic import EmerNeRF
+
+    model = EmerNeRF(static_cfg={"lotd_cfg": {
+        "lod_res": [8], "lod_n_feats": 2, "lod_types": "Dense"}},
+        dynamic_permuto_cfg={"res_list": [4.0, 8.0], "log2_hashmap_size": 10})
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, (8, 3)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((8, 3)).astype(np.float32))
+    out = model(x, v, jnp.zeros(8))
+    for k in ["sigma", "sigma_static", "sigma_dynamic", "rgb", "rgb_static",
+              "rgb_dynamic", "flow_fwd", "flow_bwd", "shadow"]:
+        assert k in out, f"missing {k}"
+    np.testing.assert_allclose(
+        np.asarray(out["sigma"]),
+        np.asarray(out["sigma_static"] + out["sigma_dynamic"]), rtol=1e-6)
+    out_t1 = model(x, v, jnp.full((8,), 0.9))
+    assert not np.allclose(np.asarray(out["sigma_dynamic"]),
+                           np.asarray(out_t1["sigma_dynamic"]))
+
+
+def test_nerf_distant(rng):
+    from nr3d_lib_tpu.models.fields_distant import (NeRFDistant,
+                                                    nerf_distant_ray_query)
+
+    model = NeRFDistant(D=1, W=16, radiance_cfg={"D": 1, "W": 16})
+    o = jnp.asarray(rng.standard_normal((4, 3)).astype(np.float32)) * 0.1
+    d = jnp.asarray(rng.standard_normal((4, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    far_inner = jnp.ones(4)
+    rendered, vb = nerf_distant_ray_query(model, o, d, far_inner, n_samples=16)
+    assert rendered["rgb_volume"].shape == (4, 3)
+    assert np.isfinite(np.asarray(rendered["rgb_volume"])).all()
+    t = np.asarray(vb["t"])
+    assert (np.diff(t, axis=-1) >= -1e-5).all(), "samples must march outward"
+    assert (t >= 0.999).all()
