@@ -37,12 +37,17 @@ def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:
 
 def marching_cubes(volume: np.ndarray, level: float = 0.0,
                    spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0)):
-    """Marching cubes on a dense scalar grid → (verts, faces).
+    """Isosurface of a dense scalar grid → (verts, faces).
 
-    Uses torch's `marching_cubes` if torchmcubes/skimage are absent: we ship a
-    minimal pure-numpy implementation (surface nets style fallback) unless
-    skimage is importable.
+    Priority: native C++ marching tetrahedra (csrc/mcubes, built on first
+    use) → skimage marching cubes → pure-numpy surface-nets fallback.
     """
+    from nr3d_lib_tpu.bindings import marching_tets_native
+
+    out = marching_tets_native(volume, level)
+    if out is not None:
+        verts, faces = out
+        return verts * np.asarray(spacing, np.float32), faces
     try:
         from skimage import measure
 
