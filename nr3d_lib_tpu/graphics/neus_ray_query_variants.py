@@ -1,0 +1,198 @@
+"""NeuS ray-query variants: compressed, dynamic (time), batched (latent).
+
+Reference: neus_ray_query.py:732 (march_occ_multi_upsample_compressed),
+fields_dynamic/neus/renderer_mixin.py:76 (NeusRendererMixinDynamic query),
+fields_conditional/neus/renderer_mixin.py:25 (NeuSRendererMixinBatched).
+
+The compressed variant drops samples whose accumulated transmittance is
+below threshold *before* the expensive radiance/nablas query — on TPU this
+is pack-compaction into a smaller static-capacity buffer rather than the
+reference's `packed_volume_render_compression` resize.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nr3d_lib_tpu.graphics import pack_ops as po
+from nr3d_lib_tpu.graphics.nerf import ray_alpha_to_vw
+from nr3d_lib_tpu.graphics.neus import neus_packed_sdf_to_alpha, neus_ray_sdf_to_alpha
+from nr3d_lib_tpu.graphics.neus_ray_query import _upsample_rounds
+from nr3d_lib_tpu.graphics.raysample import batch_sample_step_linear
+
+__all__ = ["neus_ray_query_march_occ_multi_upsample_compressed",
+           "neus_ray_query_dynamic", "neus_ray_query_batched"]
+
+Array = jax.Array
+
+_BIG_SDF = 1e4
+
+
+def neus_ray_query_march_occ_multi_upsample_compressed(
+        model, accel, space, ray_tested: Dict, *,
+        upsample_inv_s_factors: Sequence[float] = (1.0, 4.0, 16.0),
+        n_importance: int = 32, upsample_inv_s: float = 64.0,
+        compression_factor: float = 0.25, early_stop_eps: float = 1e-4,
+        perturb_key=None, with_rgb: bool = True
+        ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    """March + upsample, then COMPACT to the surviving samples before the
+    RGB/nablas query (reference :732). The packed radiance query touches
+    ~compression_factor × fewer samples."""
+    rays_o, rays_d = ray_tested["rays_o"], ray_tested["rays_d"]
+    near, far, ray_mask = ray_tested["near"], ray_tested["far"], ray_tested["mask"]
+    o_n, d_n = space.normalize_rays(rays_o, rays_d)
+    key_m = None
+    if perturb_key is not None:
+        perturb_key, key_m = jax.random.split(perturb_key)
+    t, dt, smask = accel.ray_march(o_n, d_n, near, far, perturb_key=key_m)
+
+    def sdf_fn(x):
+        return model.forward_sdf(x)["sdf"]
+
+    t, valid = _upsample_rounds(sdf_fn, o_n, d_n, t, smask, far,
+                                upsample_inv_s, upsample_inv_s_factors,
+                                n_importance, perturb_key)
+    r, s = t.shape
+    # cheap SDF-only pass → alphas → keep-mask (early termination)
+    x = o_n[:, None, :] + d_n[:, None, :] * t[..., None]
+    sdf = jnp.where(valid, sdf_fn(x.reshape(r * s, 3)).reshape(r, s), _BIG_SDF)
+    inv_s = model.forward_inv_s()
+    alpha = neus_ray_sdf_to_alpha(sdf, inv_s, append_cdf_1=True)
+    alpha = jnp.where(valid & ray_mask[:, None], alpha, 0.0)
+    trans_excl = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(alpha[:, :1]), 1.0 - alpha[:, :-1]], -1),
+        axis=-1)
+    keep = valid & (trans_excl > early_stop_eps) & (alpha > 0)
+
+    # compact to packed buffer of reduced capacity; enforce a per-ray budget
+    # so a saturated buffer can never silently drop whole far rays — the
+    # samples dropped are each ray's lowest-transmittance tail
+    capacity = max(int(r * s * compression_factor), r)
+    budget = max(capacity // r, 1)
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=-1) - 1
+    keep = keep & (rank < budget)
+    t_flat, ridx = po.dense_to_packed(t, keep, capacity)
+    sel = jnp.minimum(ridx, r - 1)
+    x_flat = o_n[sel] + d_n[sel] * t_flat[:, None]
+    vmask = ridx < r
+
+    out = model(x_flat, rays_d[sel], with_rgb=with_rgb, with_nablas=True)
+    sdf_p = jnp.where(vmask, out["sdf"], _BIG_SDF)
+    alpha_p = neus_packed_sdf_to_alpha(sdf_p, inv_s, ridx, append_cdf_1=True)
+    alpha_p = jnp.where(vmask, alpha_p, 0.0)
+    vw = po.packed_alpha_to_vw(alpha_p, ridx)
+    acc = po.packed_sum(vw, ridx, r)
+    depth = po.packed_sum(vw * t_flat, ridx, r) / jnp.maximum(acc, 1e-10)
+    rendered = {"mask_volume": jnp.where(ray_mask, acc, 0.0),
+                "depth_volume": jnp.where(ray_mask, depth, 0.0)}
+    if with_rgb:
+        rgb = po.packed_sum(vw[:, None] * out["rgb"], ridx, r)
+        rendered["rgb_volume"] = jnp.where(ray_mask[:, None], rgb, 0.0)
+    if out.get("nablas") is not None:
+        nrm = po.packed_sum(vw[:, None] * out["nablas"], ridx, r)
+        rendered["normals_volume"] = jnp.where(ray_mask[:, None], nrm, 0.0)
+    vb = {"t_packed": t_flat, "ridx": ridx, "alpha_packed": alpha_p,
+          "vw_packed": vw, "nablas_packed": out.get("nablas"),
+          "ray_mask": ray_mask, "n_compact": jnp.sum(vmask)}
+    return rendered, vb
+
+
+def neus_ray_query_dynamic(model, space, ray_tested: Dict, ts: Array, *,
+                           n_coarse: int = 64,
+                           upsample_inv_s_factors: Sequence[float] = (1.0, 4.0),
+                           n_importance: int = 16,
+                           upsample_inv_s: float = 64.0,
+                           perturb_key=None, with_rgb: bool = True
+                           ) -> Tuple[Dict, Dict]:
+    """Time-conditioned NeuS query (reference: NeusRendererMixinDynamic):
+    every SDF/radiance query carries the per-ray timestamp."""
+    rays_o, rays_d = ray_tested["rays_o"], ray_tested["rays_d"]
+    near, far, ray_mask = ray_tested["near"], ray_tested["far"], ray_tested["mask"]
+    o_n, d_n = space.normalize_rays(rays_o, rays_d)
+    key_c = None
+    if perturb_key is not None:
+        perturb_key, key_c = jax.random.split(perturb_key)
+    t, _ = batch_sample_step_linear(near, far, n_coarse, key_c)
+    valid = jnp.ones_like(t, bool)
+    r = t.shape[0]
+
+    def sdf_fn_flat(x):
+        s = x.shape[0] // r
+        ts_rep = jnp.repeat(ts, s)
+        return model.implicit_surface.forward_sdf(x, ts_rep)["sdf"]
+
+    t, valid = _upsample_rounds(sdf_fn_flat, o_n, d_n, t, valid, far,
+                                upsample_inv_s, upsample_inv_s_factors,
+                                n_importance, perturb_key)
+    r, s = t.shape
+    x = (o_n[:, None, :] + d_n[:, None, :] * t[..., None]).reshape(r * s, 3)
+    ts_rep = jnp.repeat(ts, s)
+    v = jnp.broadcast_to(rays_d[:, None, :], (r, s, 3)).reshape(r * s, 3)
+    out = model(x, v, ts_rep, with_rgb=with_rgb)
+    sdf = jnp.where(valid, out["sdf"].reshape(r, s), _BIG_SDF)
+    alpha = neus_ray_sdf_to_alpha(sdf, model.forward_inv_s(), append_cdf_1=True)
+    alpha = jnp.where(valid & ray_mask[:, None], alpha, 0.0)
+    vw = ray_alpha_to_vw(alpha)
+    acc = jnp.sum(vw, -1)
+    rendered = {"mask_volume": jnp.where(ray_mask, acc, 0.0),
+                "depth_volume": jnp.where(
+                    ray_mask, jnp.sum(vw * t, -1) / jnp.maximum(acc, 1e-10), 0.0)}
+    if with_rgb:
+        rgb = out["rgb"].reshape(r, s, 3)
+        rendered["rgb_volume"] = jnp.where(
+            ray_mask[:, None], jnp.sum(vw[..., None] * rgb, -2), 0.0)
+    return rendered, {"t": t, "alpha": alpha, "vw": vw,
+                      "nablas": out["nablas"].reshape(r, s, 3)}
+
+
+def neus_ray_query_batched(model, space, ray_tested: Dict, z: Array,
+                           bidx: Array, *, n_coarse: int = 64,
+                           upsample_inv_s_factors: Sequence[float] = (1.0, 4.0),
+                           n_importance: int = 16, upsample_inv_s: float = 64.0,
+                           perturb_key=None, with_rgb: bool = True
+                           ) -> Tuple[Dict, Dict]:
+    """Latent-conditioned batched query (reference: NeuSRendererMixinBatched):
+    z [B, z_dim]; bidx [R] instance per ray; rays of several instances render
+    in one launch."""
+    rays_o, rays_d = ray_tested["rays_o"], ray_tested["rays_d"]
+    near, far, ray_mask = ray_tested["near"], ray_tested["far"], ray_tested["mask"]
+    o_n, d_n = space.normalize_rays(rays_o, rays_d, bidx) \
+        if "bidx" in ray_tested else space.normalize_rays(rays_o, rays_d)
+    key_c = None
+    if perturb_key is not None:
+        perturb_key, key_c = jax.random.split(perturb_key)
+    t, _ = batch_sample_step_linear(near, far, n_coarse, key_c)
+    valid = jnp.ones_like(t, bool)
+    r = t.shape[0]
+    z_per_ray = z[jnp.maximum(bidx, 0)]                       # [R, z_dim]
+
+    def sdf_fn_flat(x):
+        s = x.shape[0] // r
+        z_rep = jnp.repeat(z_per_ray, s, axis=0)
+        return model.implicit_surface.forward_sdf(x, z_rep)["sdf"]
+
+    t, valid = _upsample_rounds(sdf_fn_flat, o_n, d_n, t, valid, far,
+                                upsample_inv_s, upsample_inv_s_factors,
+                                n_importance, perturb_key)
+    r, s = t.shape
+    x = (o_n[:, None, :] + d_n[:, None, :] * t[..., None]).reshape(r * s, 3)
+    z_rep = jnp.repeat(z_per_ray, s, axis=0)
+    v = jnp.broadcast_to(rays_d[:, None, :], (r, s, 3)).reshape(r * s, 3)
+    out = model(x, v, z_rep, with_rgb=with_rgb)
+    sdf = jnp.where(valid, out["sdf"].reshape(r, s), _BIG_SDF)
+    alpha = neus_ray_sdf_to_alpha(sdf, model.forward_inv_s(), append_cdf_1=True)
+    alpha = jnp.where(valid & ray_mask[:, None] & (bidx >= 0)[:, None],
+                      alpha, 0.0)
+    vw = ray_alpha_to_vw(alpha)
+    acc = jnp.sum(vw, -1)
+    rendered = {"mask_volume": jnp.where(ray_mask, acc, 0.0),
+                "depth_volume": jnp.where(
+                    ray_mask, jnp.sum(vw * t, -1) / jnp.maximum(acc, 1e-10), 0.0)}
+    if with_rgb:
+        rgb = out["rgb"].reshape(r, s, 3)
+        rendered["rgb_volume"] = jnp.where(
+            ray_mask[:, None], jnp.sum(vw[..., None] * rgb, -2), 0.0)
+    return rendered, {"t": t, "alpha": alpha, "vw": vw}

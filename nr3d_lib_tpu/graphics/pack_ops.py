@@ -75,6 +75,9 @@ __all__ = [
     "packed_to_dense",
     "dense_to_packed",
     "merge_two_packs_sorted_aligned",
+    "try_merge_two_packs_sorted_aligned",
+    "merge_two_batch",
+    "packed_matmul",
     "segmented_scan",
 ]
 
@@ -464,3 +467,39 @@ def merge_two_packs_sorted_aligned(valsA: Array, keyA: Array, ridxA: Array,
                                                  num_keys=2, is_stable=True)
         s_vals = vals[s_idx]
     return s_vals, s_key, s_ridx, s_b
+
+
+def packed_matmul(feats: Array, mats: Array, ridx: Array,
+                  n_packs: Optional[int] = None) -> Array:
+    """Per-sample matmul with its pack's matrix: out[i] = mats[ridx[i]] @ feats[i]
+    (reference: packed_matmul). feats [N,D]; mats [P,O,D] → [N,O]."""
+    if n_packs is None:
+        n_packs = mats.shape[0]
+    m = mats[jnp.minimum(ridx, n_packs - 1)]
+    out = jnp.einsum("nod,nd->no", m, feats)
+    return jnp.where((ridx < n_packs)[:, None], out, 0.0)
+
+
+def merge_two_batch(valsA: Array, keyA: Array, valsB: Array, keyB: Array
+                    ) -> Tuple[Array, Array, Array]:
+    """Merge two dense per-ray sorted sample sets [R,Sa]/[R,Sb] → sorted
+    [R,Sa+Sb] (reference: merge_two_batch). Returns (vals, key, from_B)."""
+    key = jnp.concatenate([keyA, keyB], -1)
+    is_b = jnp.concatenate([jnp.zeros_like(keyA, jnp.int32),
+                            jnp.ones_like(keyB, jnp.int32)], -1)
+    order = jnp.argsort(key, axis=-1)
+    vals = jnp.concatenate([valsA, valsB], axis=-2 if valsA.ndim > 2 else -1)
+    if vals.ndim == key.ndim:
+        vals_sorted = jnp.take_along_axis(vals, order, -1)
+    else:
+        vals_sorted = jnp.take_along_axis(vals, order[..., None], -2)
+    return (vals_sorted, jnp.take_along_axis(key, order, -1),
+            jnp.take_along_axis(is_b, order, -1))
+
+
+def try_merge_two_packs_sorted_aligned(valsA, keyA, ridxA, valsB, keyB, ridxB,
+                                       n_packs: int):
+    """Alias of merge_two_packs_sorted_aligned (the reference's 'try_' variant
+    falls back to unaligned merging; packed sort handles both here)."""
+    return merge_two_packs_sorted_aligned(valsA, keyA, ridxA, valsB, keyB,
+                                          ridxB, n_packs)
