@@ -49,7 +49,10 @@ class LoTDBrickEncoding(nnx.Module):
                 self._dense_levels.append(i)
             else:
                 sizes.append(lv.n_rows * B.LANES)
-        self._param_offsets = np.concatenate([[0], np.cumsum(sizes)])
+        offsets = [0]
+        for sz in sizes:
+            offsets.append(offsets[-1] + sz)
+        self._param_offsets = tuple(offsets)  # static ints (nnx must not trace)
         n_params = int(self._param_offsets[-1])
         key = jax.random.key(seed)
         self.flattened_params = nnx.Param(
