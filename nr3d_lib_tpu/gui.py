@@ -80,6 +80,6 @@ def render_turntable(model, *, n_frames: int = 12, radius: float = 3.0,
             import imageio
 
             imageio.mimsave(os.path.join(out_dir, "turntable.mp4"), frames, fps=10)
-        except ImportError:
-            pass
+        except Exception:
+            pass  # no video backend (ffmpeg/pyav) — the PNGs are the output
     return frames

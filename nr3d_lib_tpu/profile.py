@@ -177,6 +177,23 @@ def profile(name_or_fn=None):
 
 
 @contextlib.contextmanager
+def device_trace(log_dir: str = "/tmp/jax_trace"):
+    """Capture an XLA device trace viewable in TensorBoard/xprof.
+
+    The TPU replacement for the reference's CUDA-event device timings
+    (reference: profile.py CUDA events): `jax.named_scope` annotations from
+    `profile()` nodes appear inside this trace, mirroring the host tree.
+    """
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
 def debug_profile(name: str = "debug"):
     """One-off synchronized timing print (reference: profile.py:564)."""
     import jax
