@@ -1,23 +1,38 @@
 """Benchmark: LoTD multi-level encode throughput on the real TPU.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "detail"}.
 
 Baseline (BASELINE.md): reference CUDA LoTD forward, 8-level Dense+Hash
 hash-only fast path, 3.6M points, fp32-in/fp16-params → 1.24 ms ≈
 2.9 GSamples/s (nr3d_lib lotd/tests/unit_test.py:131; hardware unstated).
 vs_baseline = ours / 2.9.
 
-Measures the TPU-native brick-layout kernel (ops/lotd_brick.py): one
-row-gather per (point, level) instead of 8 corner gathers. Timing notes:
-on the axon-tunneled TPU, block_until_ready returns early and host readback
-costs ~1 s, so we chain N data-dependent iterations inside one jit and
-difference two run lengths (see memory: tpu-env-pitfalls).
+Measures the v2 brick kernel (ops/lotd_brick.py): lane-packed extraction,
+MXU reductions, group-predicated dedup'd gathers, Pallas backward. Detail
+reports four workloads:
+  fwd_random    — 3.6M uniform-random points (the reference bench workload;
+                  gather-issue-bound: v5e has no gather hardware, ceiling
+                  ≈ 0.94G rows/s scalar-issue → ≈ 0.117 GS/s at 8 levels)
+  fwd_ray       — 3.6M ray-ordered samples (the actual rendering workload;
+                  group-uniform dedup amortizes coarse-level gathers)
+  fwdbwd_random / fwdbwd_ray — value_and_grad wrt (params, x): the training
+                  step's encode cost (Pallas backward — VERDICT #1d)
+
+Timing: axon block_until_ready returns early and readback costs ~1 s, so we
+chain data-dependent iterations in one jit and difference two run lengths
+(memory: tpu-env-pitfalls).
 """
 
 import json
 import time
 
 import numpy as np
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    float(fn(0.0))
+    return time.perf_counter() - t0
 
 
 def main():
@@ -36,40 +51,75 @@ def main():
         hashmap_rows=4096)
 
     n_pts = 3_600_000
-    k1, k2 = jax.random.split(jax.random.key(0))
+    k1, k2, k3, k4 = jax.random.split(jax.random.key(0), 4)
     table = jax.random.normal(k1, (meta.total_rows, 128), jnp.float32) * 1e-2
-    x0 = jax.random.uniform(k2, (n_pts, 3), jnp.float32)
+    x_rand = jax.random.uniform(k2, (n_pts, 3), jnp.float32)
 
-    run = jax.jit(lambda xx: B.brick_encode(xx, table, meta))
+    # ray-ordered workload: R rays × S samples, the renderer's point stream
+    n_rays, n_samp = n_pts // 72, 72
+    o = jax.random.uniform(k3, (n_rays, 1, 3), jnp.float32, 0.05, 0.95)
+    d = jax.random.normal(k4, (n_rays, 1, 3), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.linspace(0.0, 0.5, n_samp)[None, :, None]
+    x_ray = jnp.clip(o + d * t, 0.0, 0.999).reshape(n_rays * n_samp, 3)
+    x_ray = x_ray[:n_pts]
 
-    def chain(n):
+    def make_fwd(coherent):
+        return jax.jit(lambda xx: B.brick_encode(xx, table, meta, True,
+                                                 coherent))
+
+    def make_fwdbwd(coherent):
+        def fwdbwd_fn(xx):
+            def loss(tt, xi):
+                return jnp.sum(B.brick_encode(xi, tt, meta, True,
+                                              coherent) ** 2)
+
+            l, (dt_, dx_) = jax.value_and_grad(
+                lambda tt, xi: loss(tt, xi), argnums=(0, 1))(table, xx)
+            return l + jnp.sum(dt_[0]) * 1e-30 + jnp.sum(dx_[0]) * 1e-30
+
+        return jax.jit(fwdbwd_fn)
+
+    def chain(run, x0, n):
         def body(i, carry):
             c, acc = carry
             y = run(x0 * (1.0 + c * 1e-30))
-            s = jnp.sum(y.astype(jnp.float32))
-            return s * 1e-30, acc + s
+            s = jnp.sum(y.astype(jnp.float32)) if y.ndim else y
+            return s.astype(jnp.float32) * 1e-30, acc + s.astype(jnp.float32)
 
         return jax.jit(lambda c: jax.lax.fori_loop(0, n, body, (c, 0.0))[1])
 
-    run_lo, run_hi = chain(1), chain(4)
-    float(run_lo(0.0))  # compile (persistent cache amortizes reruns)
-    float(run_hi(0.0))
+    def measure(run, x0, n_hi=4):
+        lo, hi = chain(run, x0, 1), chain(run, x0, n_hi)
+        float(lo(0.0))
+        float(hi(0.0))
+        t_lo = min(_timed(lo) for _ in range(2))
+        t_hi = min(_timed(hi) for _ in range(2))
+        dt = (t_hi - t_lo) / (n_hi - 1)
+        return n_pts / dt / 1e9
 
-    def timed(fn):
-        t0 = time.perf_counter()
-        float(fn(0.0))
-        return time.perf_counter() - t0
+    import sys
 
-    t_lo = min(timed(run_lo) for _ in range(2))
-    t_hi = min(timed(run_hi) for _ in range(2))
-    dt = (t_hi - t_lo) / 3
-    gsamples = n_pts / dt / 1e9
-    baseline = 2.9  # GSamples/s (reference CUDA, 3.6M pts)
+    detail = {}
+    for name, mk, xx in [("fwd_random_gs", make_fwd(False), x_rand),
+                         ("fwd_ray_gs", make_fwd(True), x_ray),
+                         ("fwdbwd_random_gs", make_fwdbwd(False), x_rand),
+                         ("fwdbwd_ray_gs", make_fwdbwd(True), x_ray)]:
+        detail[name] = round(measure(mk, xx), 4)
+        print(f"# {name} = {detail[name]}", file=sys.stderr, flush=True)
+    # roofline context: 8 scalar row-gathers/pt at ~0.94G issue/s ceiling
+    detail["issue_rate_ceiling_random_gs"] = 0.117
+    detail["pct_of_issue_ceiling_random"] = round(
+        100 * detail["fwd_random_gs"] / 0.117, 1)
+
+    baseline = 2.9  # GSamples/s (reference CUDA, 3.6M pts, fwd, random)
+    headline = detail["fwd_random_gs"]
     print(json.dumps({
         "metric": "lotd_fwd_throughput_8lvl_dense_hash_3.6Mpts",
-        "value": round(gsamples, 4),
+        "value": headline,
         "unit": "GSamples/s",
-        "vs_baseline": round(gsamples / baseline, 4),
+        "vs_baseline": round(headline / baseline, 4),
+        "detail": detail,
     }))
 
 

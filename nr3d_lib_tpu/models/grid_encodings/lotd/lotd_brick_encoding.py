@@ -33,10 +33,15 @@ class LoTDBrickEncoding(nnx.Module):
                  hashmap_rows: int = 4096,
                  param_init_std: float = 1e-4,
                  use_pallas: bool = True,
+                 coherent: bool = True,
                  seed: int = 42, param_dtype=jnp.float32):
+        """coherent=True: the input stream is ray/Morton-ordered (the
+        renderer's case) — group-uniform dedup'd gathers; set False for
+        random-point streams."""
         assert input_ch == 3, "brick backend is 3D"
         self.meta = B.make_brick_meta(lod_res, lod_types, hashmap_rows)
         self.use_pallas = use_pallas
+        self.coherent = coherent
         self.in_features = 3
         self.out_features = self.meta.out_features
 
@@ -79,10 +84,17 @@ class LoTDBrickEncoding(nnx.Module):
                 rows.append(p.reshape(lv.n_rows, B.LANES))
         return jnp.concatenate(rows, axis=0)
 
-    def __call__(self, x: Array) -> Array:
-        """x in [-1,1] → [N, 2·L] (kernel space is [0,1] like the reference)."""
+    def __call__(self, x: Array, ho: bool = False) -> Array:
+        """x in [-1,1] → [N, 2·L] (kernel space is [0,1] like the reference).
+
+        ho=True switches to the higher-order-differentiable XLA formulation
+        (brick_encode_ho) — needed when the caller differentiates through
+        the backward (eikonal on nablas); the Pallas pair is 1st-order."""
         table = self._build_table()
-        return B.brick_encode(x * 0.5 + 0.5, table, self.meta, self.use_pallas)
+        if ho:
+            return B.brick_encode_ho(x * 0.5 + 0.5, table, self.meta)
+        return B.brick_encode(x * 0.5 + 0.5, table, self.meta,
+                              self.use_pallas, self.coherent)
 
     forward = __call__
 

@@ -207,119 +207,330 @@ def materialize_dense_brick_table(vertex_params: Array, level: BrickLevel
     return vertex_params[idx]
 
 
-# -------------------------------------------------------------- pallas kernel
-def _fwd_kernel(meta: BrickMeta, tile: int,
-                row_ref, lane_ref, frac_ref, table_ref, out_ref, scratch_ref):
-    """row_ref: SMEM [L, tile]; lane_ref: VMEM [L, tile]; frac: [L, tile, 3];
-    table: VMEM [total_rows, 128]; out: [tile, 2L]; scratch: [tile, 128]."""
-    from jax.experimental import pallas as pl
+# -------------------------------------------------------- pallas kernels (v2)
+#
+# Round-2 kernel (VERDICT #1): the round-1 kernel spent ~3/4 of its time in
+# per-level 16-lane VPU ops (padded to 128 lanes → 8× wasted issue slots) and
+# gathered one row per (point, level) unconditionally. v2:
+#   * lane-packs ALL levels: every vector op runs at full 128-lane occupancy
+#     (lane = level·16 + corner·2 + feat);
+#   * final per-level reductions are ONE MXU matmul [tile,128]@[128,2L]
+#     instead of masked VPU reduction chains;
+#   * group-predicated gathers: points arrive in ray/Morton order, so a group
+#     of G consecutive samples usually shares its brick at coarse levels —
+#     a per-(group,level) uniformity flag (precomputed vectorized in XLA)
+#     turns G loads into 1 load + broadcast stores;
+#   * a Pallas backward (scatter-accumulate dL/dtable + fused dL/dx matmul)
+#     so training runs the fast path end to end (round-1 fell back to the
+#     XLA formulation for every backward).
 
-    n_levels = meta.n_levels
-
-    # ---- gather pass for ALL levels: rolled outer loop × 32 inner loads
-    # keeps the ~1.4 cycles/row of a full unroll at 32× less code (full
-    # unroll of L·tile loads makes Mosaic compilation explode)
-    INNER = 32
-
-    def gather_body(i, _):
-        base = i * INNER
-        for k in range(INNER):
-            n = base + k
-            for l in range(n_levels):
-                scratch_ref[pl.ds(l * tile + n, 1), :] = \
-                    table_ref[pl.ds(row_ref[l, n], 1), :]
-        return 0
-
-    jax.lax.fori_loop(0, tile // INNER, gather_body, 0)
-
-    # lane pattern: column c<16 wants corner k=c//2 feat f=c%2 at offset
-    # ((k>>2)·16 + ((k>>1)&1)·4 + (k&1))·2 + f — pure iota arithmetic, and
-    # the resulting lane never exceeds 127 even for c≥16, so no masking.
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    k = col >> 1
-    f = col & 1
-    off_vec = (((k >> 2) & 1) * (BRICK_W * BRICK_W)
-               + ((k >> 1) & 1) * BRICK_W + (k & 1)) * N_FEAT + f    # [1,128]
-
-    cols = []
-    for l in range(n_levels):
-        lane0 = lane_ref[l, :]                                       # [tile]
-        wanted = lane0[:, None] + off_vec                            # [tile,128]
-        rows = scratch_ref[pl.ds(l * tile, tile), :]
-        g = jnp.take_along_axis(rows, wanted, axis=1)[:, :16]        # [tile,16]
-
-        # trilinear weights replicated per (corner, feat) lane: w16[:, 2k+f]
-        frac = frac_ref[l, :, :]                                     # [tile,3]
-        fx = frac[:, 0:1]
-        fy = frac[:, 1:2]
-        fz = frac[:, 2:3]
-        c16 = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1) >> 1   # corner id
-        bx = ((c16 >> 2) & 1).astype(g.dtype)
-        by = ((c16 >> 1) & 1).astype(g.dtype)
-        bz = (c16 & 1).astype(g.dtype)
-        w16 = ((fx * bx + (1.0 - fx) * (1.0 - bx))
-               * (fy * by + (1.0 - fy) * (1.0 - by))
-               * (fz * bz + (1.0 - fz) * (1.0 - bz)))                # [tile,16]
-        prod = g * w16
-        # feat0 lanes are even, feat1 odd (3D reshape unsupported in Mosaic)
-        par = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1) & 1
-        even = (1 - par).astype(prod.dtype)
-        odd = par.astype(prod.dtype)
-        acc0 = jnp.sum(prod * even, axis=1, keepdims=True)           # [tile,1]
-        acc1 = jnp.sum(prod * odd, axis=1, keepdims=True)
-        cols.append(acc0)
-        cols.append(acc1)
-    out_ref[:, :] = jnp.concatenate(cols, axis=-1)
+_GROUP = 16          # samples per uniformity group (2 f32 vregs)
 
 
-_MAX_CHUNK = 1 << 19  # Mosaic crashes on very large per-call shapes
+def _prologue(x: Array, meta: BrickMeta, dtype):
+    """Per-level indexing arrays for the kernels.
 
-
-def _brick_encode_pallas(x: Array, table: Array, meta: BrickMeta,
-                         tile: int = 1024) -> Array:
-    n = x.shape[0]
-    if n > _MAX_CHUNK:
-        # unrolled fixed-size chunks: one kernel compilation (cached across
-        # chunks), any N. (lax.map makes XLA stack-allocate the full mapped
-        # output in VMEM — avoid it.)
-        k = (n + _MAX_CHUNK - 1) // _MAX_CHUNK
-        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n), (0, 0)))
-        outs = [_brick_encode_pallas_impl(xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
-                                          table, meta, tile)
-                for i in range(k)]
-        return jnp.concatenate(outs, axis=0)[:n]
-    return _brick_encode_pallas_impl(x, table, meta, tile)
-
-
-def _brick_encode_pallas_impl(x: Array, table: Array, meta: BrickMeta,
-                              tile: int = 1024) -> Array:
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n = x.shape[0]
-    n_pad = ((n + tile - 1) // tile) * tile
-    if n_pad != n:
-        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
-    L = meta.n_levels
-
+    Returns rows [L,N] i32, uni [L,N/G] i32, lane_c [N,L] i32,
+    frac_c [N,3L] dtype."""
     rows, lanes, fracs = [], [], []
     for level in meta.levels:
         r, l0, fr = _level_rows_and_lanes(x, level)
         rows.append(r)
         lanes.append(l0)
         fracs.append(fr)
-    row_arr = jnp.stack(rows)                 # [L, Np]
-    lane_arr = jnp.stack(lanes)               # [L, Np]
-    frac_arr = jnp.stack(fracs).astype(table.dtype)  # [L, Np, 3]
+    row_arr = jnp.stack(rows)                                    # [L, N]
+    n = x.shape[0]
+    rg = row_arr.reshape(meta.n_levels, n // _GROUP, _GROUP)
+    uni = (rg.min(-1) == rg.max(-1)).astype(jnp.int32)           # [L, N/G]
+    lane_c = jnp.stack(lanes, axis=-1)                           # [N, L]
+    frac_c = jnp.stack(fracs, axis=1).reshape(n, 3 * meta.n_levels)
+    return row_arr, uni, lane_c.astype(jnp.int32), frac_c.astype(dtype)
 
-    kernel = functools.partial(_fwd_kernel, meta, tile)
+
+def _reduce_matrix(n_levels: int) -> np.ndarray:
+    """[128, 2L] 0/1 matrix: lane l·16+q sums into output col l·2+(q&1)."""
+    m = np.zeros((LANES, 2 * n_levels), np.float32)
+    for lane in range(16 * n_levels):
+        m[lane, (lane // 16) * 2 + (lane & 1)] = 1.0
+    return m
+
+
+def _dx_matrix(meta: BrickMeta) -> np.ndarray:
+    """[128, 4] matrix folding trilinear-weight derivative signs and the
+    frac→x scale (res−2) per level into one MXU reduction (col 3 unused)."""
+    m = np.zeros((LANES, 4), np.float32)
+    for l, level in enumerate(meta.levels):
+        for q in range(16):
+            k = q >> 1
+            bits = ((k >> 2) & 1, (k >> 1) & 1, k & 1)
+            lane = l * 16 + q
+            for a in range(3):
+                m[lane, a] = (2.0 * bits[a] - 1.0) * (level.res[a] - 2)
+    return m
+
+
+def _gather_phase(meta, tile, rows_ref, uni_ref, table_ref, scratch_ref,
+                  coherent: bool):
+    """Gathers into scratch[l·tile + n, :].
+
+    coherent=False: plain unrolled per-point loads (best for random points —
+    measured 0.66 G rows/s issue rate, memory: tpu-env-pitfalls).
+    coherent=True: group-predicated loads — one load + broadcast stores when
+    all G consecutive samples share the brick (ray-ordered streams). The
+    level loop is python-unrolled and group addressing strength-reduced:
+    a probed naive div/mod-per-iteration variant burned ~18 cyc/group and
+    erased the dedup win (experiments/probe_slim.py pred).
+    """
+    from jax.experimental import pallas as pl
+
+    L = meta.n_levels
+    G = _GROUP
+    n_groups = tile // G
+
+    if not coherent:
+        INNER = 32
+
+        def gather_body(i, _):
+            base = i * INNER
+            for k in range(INNER):
+                n = base + k
+                for l in range(L):
+                    scratch_ref[pl.ds(l * tile + n, 1), :] = \
+                        table_ref[pl.ds(rows_ref[l, n], 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, tile // INNER, gather_body, 0)
+        return
+
+    for l in range(L):
+        def body(gidx, _, l=l):
+            base = gidx * G
+
+            def uniform(_):
+                row = table_ref[pl.ds(rows_ref[l, base], 1), :]
+                b = jnp.broadcast_to(row, (8, LANES))
+                for h in range(G // 8):
+                    scratch_ref[pl.ds(l * tile + base + 8 * h, 8), :] = b
+                return 0
+
+            def mixed(_):
+                for k in range(G):
+                    scratch_ref[pl.ds(l * tile + base + k, 1), :] = \
+                        table_ref[pl.ds(rows_ref[l, base + k], 1), :]
+                return 0
+
+            jax.lax.cond(uni_ref[l, gidx] > 0, uniform, mixed, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_groups, body, 0)
+
+
+def _packed_lanes(meta, tile, lane_ref, frac_ref, scratch_ref):
+    """Vector phase: extract corners + trilinear weights, lane-packed.
+
+    Returns (g_packed [tile,128], w [tile,128], s_sel [3][tile,128]) where
+    lane = level·16 + q, q = corner·2 + feat; lanes ≥ 16L are garbage and
+    must be masked by the caller's reduction matrix.
+    """
+    from jax.experimental import pallas as pl
+
+    L = meta.n_levels
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+    lvl = lane_i >> 4                                            # lane//16
+    q = lane_i & 15
+    k = q >> 1
+    bx = (k >> 2) & 1
+    by = (k >> 1) & 1
+    bz = k & 1
+    off = (bx * (BRICK_W * BRICK_W) + by * BRICK_W + bz) * N_FEAT + (q & 1)
+
+    lane_pad = lane_ref[:]                                       # [tile, L]
+    lvl_c = jnp.minimum(lvl, L - 1)
+    lane0 = jnp.take_along_axis(
+        jnp.pad(lane_pad, ((0, 0), (0, LANES - lane_pad.shape[1]))),
+        lvl_c, axis=1)
+    wanted = lane0 + off                                         # [tile,128]
+
+    g = jnp.zeros((tile, LANES), scratch_ref.dtype)
+    sel_mask = []
+    for l in range(L):
+        rows = scratch_ref[pl.ds(l * tile, tile), :]
+        g_l = jnp.take_along_axis(rows, wanted, axis=1)
+        g = jnp.where(lvl == l, g_l, g)
+
+    frac_pad = jnp.pad(frac_ref[:],
+                       ((0, 0), (0, LANES - frac_ref.shape[1])))  # [tile,128]
+    s = []
+    for a, bit in enumerate((bx, by, bz)):
+        f_a = jnp.take_along_axis(frac_pad, jnp.minimum(3 * lvl_c + a,
+                                                        LANES - 1), axis=1)
+        s.append(jnp.where(bit > 0, f_a, 1.0 - f_a))
+    w = s[0] * s[1] * s[2]
+    return g, w, s
+
+
+def _fwd_kernel_v2(meta: BrickMeta, tile: int, coherent: bool,
+                   rows_ref, uni_ref, lane_ref, frac_ref, table_ref, m_ref,
+                   out_ref, scratch_ref):
+    _gather_phase(meta, tile, rows_ref, uni_ref, table_ref, scratch_ref,
+                  coherent)
+    g, w, _ = _packed_lanes(meta, tile, lane_ref, frac_ref, scratch_ref)
+    prod = g * w
+    out_ref[:, :] = jnp.dot(prod, m_ref[:],
+                            preferred_element_type=jnp.float32
+                            ).astype(out_ref.dtype)
+
+
+def _bwd_kernel_v2(meta: BrickMeta, tile: int, coherent: bool,
+                   rows_ref, uni_ref, lane_ref, frac_ref, table_ref, m_ref,
+                   gup_ref, dtab_ref, dx_ref, scratch_ref):
+    """Backward: dL/dtable scatter-accumulate + dL/dx fused MXU reduction.
+
+    m_ref: [128, 4] _dx_matrix. gup_ref: [tile, 2L] upstream dL/dy.
+    dtab_ref accumulates across sequential grid steps (constant index_map).
+    """
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dtab_ref[:, :] = jnp.zeros_like(dtab_ref)
+
+    _gather_phase(meta, tile, rows_ref, uni_ref, table_ref, scratch_ref,
+                  coherent)
+    g, w, s = _packed_lanes(meta, tile, lane_ref, frac_ref, scratch_ref)
+
+    L = meta.n_levels
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+    lvl = jnp.minimum(lane_i >> 4, L - 1)
+    # upstream per lane: gup[n, (lane//16)·2 + (lane&1)]
+    gup_pad = jnp.pad(gup_ref[:], ((0, 0), (0, LANES - gup_ref.shape[1])))
+    gb = jnp.take_along_axis(gup_pad, lvl * 2 + (lane_i & 1), axis=1)
+
+    # ---- dL/dx: Σ_lane gb·g·(2b_a−1)·s_b·s_c·(res_a−2), folded into m_ref
+    h = gb * g
+    tx = h * s[1] * s[2]
+    ty = h * s[0] * s[2]
+    tz = h * s[0] * s[1]
+    # three single-column matmuls keep the per-axis sign/scale separate
+    dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32)
+    dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32)
+    dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32)
+    dx_ref[:, :] = jnp.concatenate([dx0, dx1, dx2],
+                                   axis=-1).astype(dx_ref.dtype)
+
+    # ---- dL/dtable: contribution per lane = gb·w, lane-scattered back to
+    # the brick-row layout, then row scatter-add (group-uniform fast path).
+    contrib = gb * w                                             # [tile,128]
+    G = _GROUP
+    n_groups = tile // G
+    for l in range(L):
+        # inverse lane map: target lane m holds corner q iff d = m − lane0
+        # matches the off() bit pattern (d = 32dx + 8dy + 2dz + f)
+        lane_pad = jnp.pad(lane_ref[:],
+                           ((0, 0), (0, LANES - lane_ref.shape[1])))
+        lane0 = jnp.take_along_axis(lane_pad,
+                                    jnp.full((tile, LANES), l, jnp.int32),
+                                    axis=1)
+        d = lane_i - lane0
+        valid = (d >= 0) & (d <= 43) & ((d & 0b0010100) == 0)
+        dxb = (d >> 5) & 1
+        dyb = (d >> 3) & 1
+        dzb = (d >> 1) & 1
+        qinv = dxb * 8 + dyb * 4 + dzb * 2 + (d & 1)
+        src = jnp.clip(l * 16 + qinv, 0, LANES - 1)
+        slab = jnp.where(valid, jnp.take_along_axis(contrib, src, axis=1),
+                         0.0)
+        # reuse gather scratch as the scatter staging slab
+        scratch_ref[pl.ds(l * tile, tile), :] = slab
+
+    if not coherent:
+        INNER = 16
+
+        def scatter_body(i, _):
+            base = i * INNER
+            for kk in range(INNER):
+                n = base + kk
+                for l in range(L):
+                    r = rows_ref[l, n]
+                    dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
+                        scratch_ref[pl.ds(l * tile + n, 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, tile // INNER, scatter_body, 0)
+        return
+
+    for l in range(L):
+        def scatter_body(gidx, _, l=l):
+            base = gidx * G
+
+            def uniform(_):
+                acc = jnp.sum(scratch_ref[pl.ds(l * tile + base, G), :],
+                              axis=0, keepdims=True)
+                r = rows_ref[l, base]
+                dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + acc
+                return 0
+
+            def mixed(_):
+                for kk in range(G):
+                    r = rows_ref[l, base + kk]
+                    dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
+                        scratch_ref[pl.ds(l * tile + base + kk, 1), :]
+                return 0
+
+            jax.lax.cond(uni_ref[l, gidx] > 0, uniform, mixed, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_groups, scatter_body, 0)
+
+
+_MAX_CHUNK = 1 << 19  # Mosaic crashes on very large per-call shapes
+
+
+def _pad_points(x: Array, tile: int) -> Tuple[Array, int]:
+    n = x.shape[0]
+    n_pad = ((n + tile - 1) // tile) * tile
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    return x, n
+
+
+def _brick_encode_pallas(x: Array, table: Array, meta: BrickMeta,
+                         tile: int = 2048, interpret: bool = False,
+                         coherent: bool = False) -> Array:
+    n = x.shape[0]
+    if n > _MAX_CHUNK:
+        k = (n + _MAX_CHUNK - 1) // _MAX_CHUNK
+        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n), (0, 0)))
+        outs = [_brick_encode_pallas_impl(
+            xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK], table, meta, tile,
+            interpret, coherent) for i in range(k)]
+        return jnp.concatenate(outs, axis=0)[:n]
+    return _brick_encode_pallas_impl(x, table, meta, tile, interpret, coherent)
+
+
+def _brick_encode_pallas_impl(x: Array, table: Array, meta: BrickMeta,
+                              tile: int = 2048, interpret: bool = False,
+                              coherent: bool = False) -> Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x, n = _pad_points(x, tile)
+    n_pad = x.shape[0]
+    L = meta.n_levels
+    rows, uni, lane_c, frac_c = _prologue(x, meta, table.dtype)
+    m_red = jnp.asarray(_reduce_matrix(L), table.dtype)
+
+    kernel = functools.partial(_fwd_kernel_v2, meta, tile, coherent)
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
         in_specs=[
             pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.SMEM),
-            pl.BlockSpec((L, tile), lambda i: (0, i)),
-            pl.BlockSpec((L, tile, 3), lambda i: (0, i, 0)),
+            pl.BlockSpec((L, tile // _GROUP), lambda i: (0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, L), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, 2 * L), lambda i: (i, 0)),
@@ -327,31 +538,124 @@ def _brick_encode_pallas_impl(x: Array, table: Array, meta: BrickMeta,
         scratch_shapes=[pltpu.VMEM((L * tile, LANES), table.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
-    )(row_arr, lane_arr, frac_arr, table)
+        interpret=interpret,
+    )(rows, uni, lane_c, frac_c, table, m_red)
     return out[:n]
 
 
+def _brick_bwd_pallas(x: Array, table: Array, g_up: Array, meta: BrickMeta,
+                      tile: int = 2048, interpret: bool = False,
+                      coherent: bool = False) -> Tuple[Array, Array]:
+    """Pallas backward: (dL/dx [N,3], dL/dtable [rows,128])."""
+    n0 = x.shape[0]
+    if n0 > _MAX_CHUNK:
+        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
+        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        dxs, dtab = [], jnp.zeros_like(table)
+        for i in range(k):
+            dx_i, dt_i = _brick_bwd_pallas_impl(
+                xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK], table,
+                gp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK], meta, tile,
+                interpret, coherent)
+            dxs.append(dx_i)
+            dtab = dtab + dt_i
+        return jnp.concatenate(dxs, axis=0)[:n0], dtab
+    return _brick_bwd_pallas_impl(x, table, g_up, meta, tile, interpret,
+                                  coherent)
+
+
+def _brick_bwd_pallas_impl(x: Array, table: Array, g_up: Array,
+                           meta: BrickMeta, tile: int = 2048,
+                           interpret: bool = False,
+                           coherent: bool = False) -> Tuple[Array, Array]:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x, n = _pad_points(x, tile)
+    n_pad = x.shape[0]
+    if g_up.shape[0] != n_pad:
+        g_up = jnp.pad(g_up, ((0, n_pad - g_up.shape[0]), (0, 0)))
+    L = meta.n_levels
+    rows, uni, lane_c, frac_c = _prologue(x, meta, table.dtype)
+    m_dx = jnp.asarray(_dx_matrix(meta), table.dtype)
+
+    kernel = functools.partial(_bwd_kernel_v2, meta, tile, coherent)
+    dtab, dx = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, tile // _GROUP), lambda i: (0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, L), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2 * L), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec(table.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(table.shape, table.dtype),
+            jax.ShapeDtypeStruct((n_pad, 3), table.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((L * tile, LANES), table.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(rows, uni, lane_c, frac_c, table, m_dx, g_up)
+    # x is in [0,1] but frac derivative is per-unit-x already folded (res−2)
+    return dx[:n], dtab
+
+
 # ------------------------------------------------------------------ custom vjp
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def brick_encode(x: Array, table: Array, meta: BrickMeta,
-                 use_pallas: bool = True) -> Array:
+                 use_pallas: bool = True, coherent: bool = False) -> Array:
     """Brick LoTD encode: [N,3] in [0,1] × [total_rows,128] → [N, 2L].
 
-    Forward uses the fused Pallas kernel on TPU; backward currently uses the
-    XLA reference formulation (differentiable to all orders)."""
+    Forward AND first-order backward run the fused Pallas kernels on TPU
+    (VERDICT round-1 #1d); off-TPU (and for higher-order autodiff — see
+    `brick_encode_ho`) the XLA reference formulation is used."""
     if use_pallas and jax.default_backend() == "tpu":
-        return _brick_encode_pallas(x, table, meta)
+        return _brick_encode_pallas(x, table, meta, coherent=coherent)
     return brick_encode_xla(x, table, meta)
 
 
-def _fwd(x, table, meta, use_pallas):
-    return brick_encode(x, table, meta, use_pallas), (x, table)
+def _fwd(x, table, meta, use_pallas, coherent):
+    return brick_encode(x, table, meta, use_pallas, coherent), (x, table)
 
 
-def _bwd(meta, use_pallas, res, g):
+def _bwd(meta, use_pallas, coherent, res, g):
     x, table = res
+    if use_pallas and jax.default_backend() == "tpu":
+        return _brick_bwd_pallas(x, table, g, meta, coherent=coherent)
     _, vjp_fn = jax.vjp(lambda xx, tt: brick_encode_xla(xx, tt, meta), x, table)
     return vjp_fn(g)
 
 
 brick_encode.defvjp(_fwd, _bwd)
+
+
+def brick_encode_ho(x: Array, table: Array, meta: BrickMeta) -> Array:
+    """Higher-order-differentiable encode (pure XLA formulation): use on
+    eikonal/nablas paths that differentiate through the backward (the
+    reference's 2nd-order kernels, lotd_encoding.h:765 — here plain
+    autodiff; the Pallas pair covers 1st order only)."""
+    return brick_encode_xla(x, table, meta)
+
+
+def brick_bwd_dydx(g_up: Array, x: Array, table: Array,
+                   meta: BrickMeta) -> Array:
+    """dL/dx only — the reference's `bwd_dydx` nablas fast path
+    (lotd.py:193 LoTDFunctionBwdDydx forward). Not differentiable; for
+    nablas that require further grads use `brick_encode_ho` + jax.grad."""
+    if jax.default_backend() == "tpu":
+        dx, _ = _brick_bwd_pallas(x, table, g_up, meta)
+        return dx
+    _, vjp_fn = jax.vjp(lambda xx: brick_encode_xla(xx, table, meta), x)
+    return vjp_fn(g_up)[0]

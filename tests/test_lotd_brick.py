@@ -127,6 +127,48 @@ def test_pallas_kernel_interpret_mode(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_pallas_backward_interpret_mode(rng):
+    """v2 Pallas backward (scatter-accumulate dtable + fused dx) vs the XLA
+    vjp, in interpreter mode, on ray-coherent AND random points (the
+    group-uniform fast path and the mixed path both execute)."""
+    bmeta = B.make_brick_meta([16, 32, 64, 128],
+                              ["Dense", "Dense", "Hash", "Hash"],
+                              hashmap_rows=512)
+    table = jnp.asarray(rng.standard_normal((bmeta.total_rows, 128))
+                        .astype(np.float32))
+    n = 2048
+    # coherent: 32 rays × 64 samples
+    o = jnp.asarray(rng.uniform(0.1, 0.3, (32, 1, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((32, 1, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.linspace(0, 0.6, 64, dtype=jnp.float32)[None, :, None]
+    x_coh = jnp.clip(o + d * t, 0.0, 0.999).reshape(n, 3)
+    x_rnd = jnp.asarray(rng.uniform(0.0, 0.999, (n, 3)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((n, 2 * bmeta.n_levels))
+                    .astype(np.float32))
+
+    for x in (x_coh, x_rnd):
+        y_ref, vjp = jax.vjp(lambda xx, tt: B.brick_encode_xla(xx, tt, bmeta),
+                             x, table)
+        dx_ref, dtab_ref = vjp(g)
+        y = B._brick_encode_pallas_impl(x, table, bmeta, tile=2048,
+                                        interpret=True)
+        dx, dtab = B._brick_bwd_pallas_impl(x, table, g, bmeta, tile=2048,
+                                            interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                                   rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(dtab), np.asarray(dtab_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    # bwd_dydx (nablas fast path) matches too
+    dx_fast = B.brick_bwd_dydx(g, x_rnd, table, bmeta)
+    _, vjp_x = jax.vjp(lambda xx: B.brick_encode_xla(xx, table, bmeta), x_rnd)
+    np.testing.assert_allclose(np.asarray(dx_fast),
+                               np.asarray(vjp_x(g)[0]), rtol=2e-4, atol=2e-3)
+
+
 def test_brick_encoding_module(rng):
     from nr3d_lib_tpu.models.grid_encodings.lotd.lotd_brick_encoding import (
         LoTDBrickEncoding)
