@@ -20,7 +20,8 @@ from nr3d_lib_tpu.graphics.neus import neus_ray_sdf_to_alpha
 from nr3d_lib_tpu.graphics.raysample import batch_sample_pdf, batch_sample_step_linear
 
 __all__ = ["neus_ray_query_march_occ_multi_upsample",
-           "neus_ray_query_coarse_multi_upsample"]
+           "neus_ray_query_coarse_multi_upsample",
+           "neus_ray_query_sphere_trace"]
 
 Array = jax.Array
 
@@ -113,6 +114,67 @@ def neus_ray_query_coarse_multi_upsample(
                                 n_importance, perturb_key)
     return _final_composite(model, o_n, d_n, rays_d, t, valid, ray_mask,
                             model.forward_inv_s(), with_rgb)
+
+
+def neus_ray_query_sphere_trace(
+        model, accel, space, ray_tested: Dict, *,
+        n_band: int = 16, band_sigma: float = 3.0,
+        n_tail: int = 8, tail_span: float = 0.1,
+        hit_threshold: float = 5e-4, max_iters: int = 64,
+        distance_scale: float = 1.0,
+        perturb_key=None, with_rgb: bool = True
+        ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    """Sphere-trace query strategy (reference: neus_ray_query.py:41
+    neus_ray_query_sphere_trace + sphere_tracer.cu:300 sample_on_segments):
+
+      1. sphere-trace each ray to the SDF zero crossing, occ-grid seeded;
+      2. place `n_band` samples in a logistic band around the hit (width
+         band_sigma / inv_s — where the NeuS kernel has mass) plus `n_tail`
+         coarse samples behind it (the reference's tail sampling for rays
+         whose band doesn't absorb all transmittance);
+      3. volume-render those samples with the standard NeuS estimator —
+         miss rays keep zero alpha and composite to background.
+    """
+    from nr3d_lib_tpu.graphics.sphere_trace import sphere_trace
+
+    rays_o, rays_d = ray_tested["rays_o"], ray_tested["rays_d"]
+    near, far, ray_mask = ray_tested["near"], ray_tested["far"], ray_tested["mask"]
+    o_n, d_n = space.normalize_rays(rays_o, rays_d)
+
+    def sdf_fn(x):
+        return model.forward_sdf(x)["sdf"]
+
+    occ = accel.occ.occ() if accel is not None else None
+    tr = sphere_trace(o_n, d_n, near, far, sdf_fn,
+                      distance_scale=distance_scale,
+                      hit_threshold=hit_threshold, max_iters=max_iters,
+                      occ_grid=occ)
+    inv_s = model.forward_inv_s()
+    half_band = band_sigma / jnp.maximum(inv_s, 1e-6)
+
+    # band samples centered at the hit; miss rays park their band past far
+    # (alpha masked to 0 below) so shapes stay static.
+    t_hit = jnp.where(tr["hit"], tr["t"], far)
+    u = jnp.linspace(-1.0, 1.0, n_band)
+    t_band = t_hit[:, None] + half_band * u[None, :]
+    t_tail = t_hit[:, None] + half_band + (tail_span * (far - t_hit))[:, None] \
+        * jnp.linspace(0.1, 1.0, n_tail)[None, :]
+    if perturb_key is not None:
+        kb, kt = jax.random.split(perturb_key)
+        t_band = t_band + jax.random.uniform(
+            kb, t_band.shape, t_band.dtype, -0.5, 0.5) * (2 * half_band / n_band)
+        t_tail = t_tail + jax.random.uniform(
+            kt, t_tail.shape, t_tail.dtype, -0.5, 0.5) \
+            * (tail_span * (far - t_hit))[:, None] / n_tail
+    t = jnp.sort(jnp.concatenate([t_band, t_tail], -1), axis=-1)
+    t = jnp.clip(t, near[:, None], far[:, None])
+    valid = jnp.broadcast_to(tr["hit"][:, None], t.shape)
+    rendered, vb = _final_composite(model, o_n, d_n, rays_d, t, valid,
+                                    ray_mask, inv_s, with_rgb)
+    vb.update(t_hit=t_hit, hit=tr["hit"], trace_sdf=tr["sdf"],
+              trace_status=tr["status"])
+    rendered["depth_surface"] = jnp.where(ray_mask & tr["hit"], t_hit, 0.0)
+    return rendered, vb
 
 
 def neus_ray_query_march_occ_multi_upsample(

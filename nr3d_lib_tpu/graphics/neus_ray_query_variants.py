@@ -24,7 +24,8 @@ from nr3d_lib_tpu.graphics.neus_ray_query import _upsample_rounds
 from nr3d_lib_tpu.graphics.raysample import batch_sample_step_linear
 
 __all__ = ["neus_ray_query_march_occ_multi_upsample_compressed",
-           "neus_ray_query_dynamic", "neus_ray_query_batched"]
+           "neus_ray_query_dynamic", "neus_ray_query_batched",
+           "neus_ray_query_batched_dynamic"]
 
 Array = jax.Array
 
@@ -152,15 +153,21 @@ def neus_ray_query_batched(model, space, ray_tested: Dict, z: Array,
                            bidx: Array, *, n_coarse: int = 64,
                            upsample_inv_s_factors: Sequence[float] = (1.0, 4.0),
                            n_importance: int = 16, upsample_inv_s: float = 64.0,
+                           per_instance_z: bool = False,
                            perturb_key=None, with_rgb: bool = True
                            ) -> Tuple[Dict, Dict]:
     """Latent-conditioned batched query (reference: NeuSRendererMixinBatched):
     z [B, z_dim]; bidx [R] instance per ray; rays of several instances render
-    in one launch."""
+    in one launch.
+
+    per_instance_z=True: the field's API is (x, z_table, bidx) — the
+    style/grower family, where growing params per POINT would be ruinous
+    (reference: style_lotd_sdf.py takes the per-instance table)."""
     rays_o, rays_d = ray_tested["rays_o"], ray_tested["rays_d"]
     near, far, ray_mask = ray_tested["near"], ray_tested["far"], ray_tested["mask"]
     o_n, d_n = space.normalize_rays(rays_o, rays_d, bidx) \
-        if "bidx" in ray_tested else space.normalize_rays(rays_o, rays_d)
+        if getattr(space, "n_batch", None) else \
+        space.normalize_rays(rays_o, rays_d)
     key_c = None
     if perturb_key is not None:
         perturb_key, key_c = jax.random.split(perturb_key)
@@ -171,6 +178,9 @@ def neus_ray_query_batched(model, space, ray_tested: Dict, z: Array,
 
     def sdf_fn_flat(x):
         s = x.shape[0] // r
+        if per_instance_z:
+            bidx_rep = jnp.repeat(jnp.maximum(bidx, 0), s)
+            return model.implicit_surface.forward_sdf(x, z, bidx_rep)["sdf"]
         z_rep = jnp.repeat(z_per_ray, s, axis=0)
         return model.implicit_surface.forward_sdf(x, z_rep)["sdf"]
 
@@ -179,9 +189,13 @@ def neus_ray_query_batched(model, space, ray_tested: Dict, z: Array,
                                 n_importance, perturb_key)
     r, s = t.shape
     x = (o_n[:, None, :] + d_n[:, None, :] * t[..., None]).reshape(r * s, 3)
-    z_rep = jnp.repeat(z_per_ray, s, axis=0)
     v = jnp.broadcast_to(rays_d[:, None, :], (r, s, 3)).reshape(r * s, 3)
-    out = model(x, v, z_rep, with_rgb=with_rgb)
+    if per_instance_z:
+        bidx_rep = jnp.repeat(jnp.maximum(bidx, 0), s)
+        out = model(x, v, z, bidx_rep, with_rgb=with_rgb)
+    else:
+        z_rep = jnp.repeat(z_per_ray, s, axis=0)
+        out = model(x, v, z_rep, with_rgb=with_rgb)
     sdf = jnp.where(valid, out["sdf"].reshape(r, s), _BIG_SDF)
     alpha = neus_ray_sdf_to_alpha(sdf, model.forward_inv_s(), append_cdf_1=True)
     alpha = jnp.where(valid & ray_mask[:, None] & (bidx >= 0)[:, None],
@@ -196,3 +210,62 @@ def neus_ray_query_batched(model, space, ray_tested: Dict, z: Array,
         rendered["rgb_volume"] = jnp.where(
             ray_mask[:, None], jnp.sum(vw[..., None] * rgb, -2), 0.0)
     return rendered, {"t": t, "alpha": alpha, "vw": vw}
+
+
+def neus_ray_query_batched_dynamic(model, space, ray_tested: Dict, z: Array,
+                                   bidx: Array, ts: Array, *,
+                                   n_coarse: int = 64,
+                                   upsample_inv_s_factors: Sequence[float] = (1.0, 4.0),
+                                   n_importance: int = 16,
+                                   upsample_inv_s: float = 64.0,
+                                   perturb_key=None, with_rgb: bool = True
+                                   ) -> Tuple[Dict, Dict]:
+    """Latent- AND time-conditioned batched query (reference:
+    fields_conditional_dynamic/neus/renderer_mixin.py:25
+    NeusRendererMixinBatchedDynamic): z [B, z_dim], bidx [R] instance per
+    ray, ts [R] timestamp per ray."""
+    rays_o, rays_d = ray_tested["rays_o"], ray_tested["rays_d"]
+    near, far, ray_mask = ray_tested["near"], ray_tested["far"], ray_tested["mask"]
+    if getattr(space, "n_batch", None):
+        o_n, d_n = space.normalize_rays(rays_o, rays_d, bidx)
+    else:
+        o_n, d_n = space.normalize_rays(rays_o, rays_d)
+    key_c = None
+    if perturb_key is not None:
+        perturb_key, key_c = jax.random.split(perturb_key)
+    t, _ = batch_sample_step_linear(near, far, n_coarse, key_c)
+    valid = jnp.ones_like(t, bool)
+    r = t.shape[0]
+    z_per_ray = z[jnp.maximum(bidx, 0)]
+
+    def sdf_fn_flat(x):
+        s = x.shape[0] // r
+        z_rep = jnp.repeat(z_per_ray, s, axis=0)
+        ts_rep = jnp.repeat(ts, s)
+        return model.implicit_surface.forward_sdf(x, z_rep, ts_rep)["sdf"]
+
+    t, valid = _upsample_rounds(sdf_fn_flat, o_n, d_n, t, valid, far,
+                                upsample_inv_s, upsample_inv_s_factors,
+                                n_importance, perturb_key)
+    r, s = t.shape
+    x = (o_n[:, None, :] + d_n[:, None, :] * t[..., None]).reshape(r * s, 3)
+    z_rep = jnp.repeat(z_per_ray, s, axis=0)
+    ts_rep = jnp.repeat(ts, s)
+    v = jnp.broadcast_to(rays_d[:, None, :], (r, s, 3)).reshape(r * s, 3)
+    out = model(x, v, z_rep, ts_rep, with_rgb=with_rgb)
+    sdf = jnp.where(valid, out["sdf"].reshape(r, s), _BIG_SDF)
+    alpha = neus_ray_sdf_to_alpha(sdf, model.forward_inv_s(), append_cdf_1=True)
+    alpha = jnp.where(valid & ray_mask[:, None] & (bidx >= 0)[:, None],
+                      alpha, 0.0)
+    vw = ray_alpha_to_vw(alpha)
+    acc = jnp.sum(vw, -1)
+    rendered = {"mask_volume": jnp.where(ray_mask, acc, 0.0),
+                "depth_volume": jnp.where(
+                    ray_mask, jnp.sum(vw * t, -1) / jnp.maximum(acc, 1e-10),
+                    0.0)}
+    if with_rgb:
+        rgb = out["rgb"].reshape(r, s, 3)
+        rendered["rgb_volume"] = jnp.where(
+            ray_mask[:, None], jnp.sum(vw[..., None] * rgb, -2), 0.0)
+    return rendered, {"t": t, "alpha": alpha, "vw": vw,
+                      "nablas": out["nablas"].reshape(r, s, 3)}

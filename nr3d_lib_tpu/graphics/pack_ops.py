@@ -329,9 +329,10 @@ def packed_searchsorted(bins: Array, bins_ridx: Array, vals: Array, vals_ridx: A
     nb, nv = bins.shape[0], vals.shape[0]
     # tag: bins sort before equal vals for side='right'? searchsorted right:
     # insertion after equal bins → bins with value == v come BEFORE v.
-    tag_bins = jnp.zeros((nb,), jnp.int32) if side == "right" else jnp.ones((nb,), jnp.int32)
-    tag_vals = jnp.ones((nv,), jnp.int32) - tag_bins[0] if False else (
-        jnp.ones((nv,), jnp.int32) if side == "right" else jnp.zeros((nv,), jnp.int32))
+    tag_bins = jnp.zeros((nb,), jnp.int32) if side == "right" \
+        else jnp.ones((nb,), jnp.int32)
+    tag_vals = jnp.ones((nv,), jnp.int32) if side == "right" \
+        else jnp.zeros((nv,), jnp.int32)
     all_ridx = jnp.concatenate([bins_ridx, vals_ridx])
     all_val = jnp.concatenate([bins, vals])
     all_tag = jnp.concatenate([tag_bins, tag_vals])

@@ -83,7 +83,11 @@ def sphere_trace(rays_o: Array, rays_d: Array, near: Array, far: Array,
         first = jnp.argmax(mask, axis=-1)
         has = jnp.any(mask, axis=-1)
         t_seed = jnp.take_along_axis(tt, first[:, None], -1)[:, 0]
-        t0 = jnp.where(has, jnp.maximum(t_seed - 2.0 / occ_march_steps, near), far)
+        # rays with no occupied sample still trace from `near`: a sparse or
+        # stale occupancy grid must never turn hits into misses (the grid is
+        # a seed accelerator, not an oracle)
+        t0 = jnp.where(has, jnp.maximum(t_seed - 2.0 / occ_march_steps, near),
+                       near)
 
     def body(state):
         t, status, it = state

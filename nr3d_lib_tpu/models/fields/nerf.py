@@ -109,19 +109,9 @@ class LoTDNeRF(nnx.Module):
             "lod_res": [16, 32, 64, 128], "lod_n_feats": 2,
             "lod_types": ["Dense", "Dense", "Hash", "Hash"],
             "hashmap_size": 2 ** 15})
-        if enc_cfg.pop("backend", "xla") == "brick":
-            # TPU fast path (ops/lotd_brick): Dense/Hash only
-            from nr3d_lib_tpu.models.grid_encodings.lotd import LoTDBrickEncoding
+        from nr3d_lib_tpu.models.grid_encodings.lotd import get_lotd_encoding
 
-            lc = enc_cfg.pop("lotd_cfg")
-            self.encoding = LoTDBrickEncoding(
-                3, lod_res=lc["lod_res"],
-                lod_types=(lc["lod_types"] if not isinstance(lc["lod_types"], str)
-                           else [lc["lod_types"]] * len(lc["lod_res"])),
-                hashmap_rows=enc_cfg.pop("hashmap_rows", 4096), seed=seed)
-            self.encoding.set_anneal_iter = lambda it: None
-        else:
-            self.encoding = LoTDEncoding(3, **enc_cfg, seed=seed)
+        self.encoding = get_lotd_encoding(3, **enc_cfg, seed=seed)
         self.n_geo_feat = n_geo_feat
         dec_cfg = dict(density_decoder_cfg or {})
         dec_cfg.setdefault("D", 1)

@@ -33,12 +33,15 @@ class LoTDSDF(nnx.Module):
                  n_geo_feat: int = 15,
                  bounding_radius: float = 1.0,
                  seed: int = 0):
+        from nr3d_lib_tpu.models.grid_encodings.lotd import get_lotd_encoding
+
         enc_cfg = dict(encoding_cfg or {})
         enc_cfg.setdefault("lotd_cfg", {
             "lod_res": [16, 32, 64, 128], "lod_n_feats": 2,
             "lod_types": ["Dense", "Dense", "Hash", "Hash"],
             "hashmap_size": 2 ** 15})
-        self.encoding = LoTDEncoding(3, **enc_cfg, seed=seed)
+        self.encoding = get_lotd_encoding(3, **enc_cfg, seed=seed)
+        self._enc_is_brick = enc_cfg.get("backend", "xla") == "brick"
         dec_cfg = dict(decoder_cfg or {})
         dec_cfg.setdefault("D", 1)
         dec_cfg.setdefault("W", 64)
@@ -48,10 +51,11 @@ class LoTDSDF(nnx.Module):
         self.n_geo_feat = n_geo_feat
         self.bounding_radius = bounding_radius
 
-    def _sdf_h(self, x: Array) -> Array:
+    def _sdf_h(self, x: Array, ho: bool = False) -> Array:
         """x in [-1,1] → [.., 1+n_geo_feat]; decoder also sees raw x so the
         net can express a global sphere-ish prior."""
-        h = self.encoding(x)
+        h = self.encoding(x, ho=True) if (ho and self._enc_is_brick) \
+            else self.encoding(x)
         return self.decoder(jnp.concatenate([x, h], -1))
 
     def forward_sdf(self, x: Array) -> Dict[str, Array]:
@@ -62,9 +66,11 @@ class LoTDSDF(nnx.Module):
                            ) -> Dict[str, Array]:
         """(sdf, h, nablas=∂sdf/∂x) — reference lotd_sdf.py:201
         forward_sdf_nablas. Gradients through `nablas` (eikonal loss)
-        trigger second-order autodiff end-to-end."""
+        trigger second-order autodiff end-to-end. With the brick backend,
+        has_grad=True routes the encode through its higher-order XLA
+        formulation (the Pallas backward is 1st-order only)."""
         def f(xx):
-            out = self._sdf_h(xx)
+            out = self._sdf_h(xx, ho=has_grad)
             return out[..., 0], out[..., 1:]
 
         (sdf, h), vjp_fn = jax.vjp(f, x)

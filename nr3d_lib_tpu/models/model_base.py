@@ -92,18 +92,30 @@ class LoTDNeRFModel(nnx.Module, ModelMixin):
         return self.field.forward_density(x)["sigma"]
 
     def populate(self, key=None):
-        self.accel.init(key or jax.random.key(0), None)
+        self.accel.init(key if key is not None else jax.random.key(0), None)
 
     def training_before_per_step(self, it: int, key=None):
         self.field.encoding.set_anneal_iter(it)
-        self.accel.step(it, key or jax.random.key(it), self.query_density)
+        self.accel.step(it, key if key is not None else jax.random.key(it), self.query_density)
 
     def ray_query(self, ray_tested: Dict, key=None, with_rgb: bool = True
                   ) -> Tuple[Dict, Dict]:
-        from nr3d_lib_tpu.graphics.nerf_ray_query import nerf_ray_query_march_occ
+        cfg = dict(self.ray_query_cfg)
+        mode = cfg.pop("query_mode", "march_occ")
+        if mode == "march_occ":
+            from nr3d_lib_tpu.graphics.nerf_ray_query import nerf_ray_query_march_occ
 
-        return nerf_ray_query_march_occ(self, self.accel, self.space, ray_tested,
-                                        perturb_key=key, with_rgb=with_rgb)
+            return nerf_ray_query_march_occ(self, self.accel, self.space,
+                                            ray_tested, perturb_key=key,
+                                            with_rgb=with_rgb, **cfg)
+        if mode == "march_occ_compressed":
+            from nr3d_lib_tpu.graphics.nerf_ray_query import (
+                nerf_ray_query_march_occ_compressed)
+
+            return nerf_ray_query_march_occ_compressed(
+                self, self.accel, self.space, ray_tested, perturb_key=key,
+                with_rgb=with_rgb, **cfg)
+        raise ValueError(f"Unknown query_mode: {mode}")
 
 
 class LoTDNeuSModel(nnx.Module, ModelMixin):
@@ -143,12 +155,12 @@ class LoTDNeuSModel(nnx.Module, ModelMixin):
         return jax.nn.sigmoid(-jnp.abs(sdf) * inv_s) * 4.0
 
     def populate(self, key=None):
-        self.accel.init(key or jax.random.key(0), self.query_occ_val)
+        self.accel.init(key if key is not None else jax.random.key(0), self.query_occ_val)
 
     def training_before_per_step(self, it: int, key=None):
         self.field.implicit_surface.encoding.set_anneal_iter(it)
         self.field.var_ctrl.set_iter(it)
-        self.accel.step(it, key or jax.random.key(it), self.query_occ_val)
+        self.accel.step(it, key if key is not None else jax.random.key(it), self.query_occ_val)
 
     def training_after_per_step(self, it: int, key=None):
         pass
@@ -164,11 +176,25 @@ class LoTDNeuSModel(nnx.Module, ModelMixin):
             return neus_ray_query_march_occ_multi_upsample(
                 self, self.accel, self.space, ray_tested,
                 perturb_key=key, with_rgb=with_rgb, **cfg)
+        if mode == "march_occ_multi_upsample_compressed":
+            from nr3d_lib_tpu.graphics.neus_ray_query_variants import (
+                neus_ray_query_march_occ_multi_upsample_compressed)
+
+            return neus_ray_query_march_occ_multi_upsample_compressed(
+                self, self.accel, self.space, ray_tested, perturb_key=key,
+                with_rgb=with_rgb, **cfg)
         if mode == "coarse_multi_upsample":
             from nr3d_lib_tpu.graphics.neus_ray_query import (
                 neus_ray_query_coarse_multi_upsample)
 
             return neus_ray_query_coarse_multi_upsample(
                 self, self.space, ray_tested, perturb_key=key,
+                with_rgb=with_rgb, **cfg)
+        if mode == "sphere_trace":
+            from nr3d_lib_tpu.graphics.neus_ray_query import (
+                neus_ray_query_sphere_trace)
+
+            return neus_ray_query_sphere_trace(
+                self, self.accel, self.space, ray_tested, perturb_key=key,
                 with_rgb=with_rgb, **cfg)
         raise ValueError(f"Unknown query_mode: {mode}")

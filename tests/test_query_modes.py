@@ -1,0 +1,162 @@
+"""Round-2 query-mode dispatch: compressed NeRF/NeuS and sphere-trace NeuS.
+
+Reference behaviors: nerf_ray_query.py:190 (compressed), neus_ray_query.py:41
+(sphere_trace strategy), :732 (compressed NeuS) — here validated as
+parity-with-uncompressed and trace-vs-volumetric-depth agreement.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax import nnx
+
+
+def _nerf_model(query_cfg):
+    from nr3d_lib_tpu.models.model_base import LoTDNeRFModel
+
+    return LoTDNeRFModel(
+        field_cfg={"encoding_cfg": {"lotd_cfg": {
+            "lod_res": [8, 16], "lod_n_feats": 2, "lod_types": "Dense"}},
+            "density_decoder_cfg": {"D": 1, "W": 16},
+            "radiance_cfg": {"D": 1, "W": 16}},
+        accel_cfg={"resolution": 16, "max_steps_per_ray": 64,
+                   "step_size": 2 / 32},
+        ray_query_cfg=query_cfg, seed=3)
+
+
+def test_nerf_compressed_matches_uncompressed():
+    m_plain = _nerf_model({"query_mode": "march_occ"})
+    m_comp = _nerf_model({"query_mode": "march_occ_compressed",
+                          "compression_factor": 1.0,
+                          "early_stop_eps": 0.0})
+    m_plain.populate()
+    m_comp.populate()
+    # same params by construction (same seed)
+    o = jnp.asarray([[-2.0, 0.0, 0.0], [0.0, -3.0, 0.5], [0.3, 2.5, -0.2]])
+    d = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [-0.1, -1.0, 0.05]])
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rt = m_plain.ray_test(o, d)
+    r0, _ = m_plain.ray_query(rt)
+    r1, vb1 = m_comp.ray_query(rt)
+    # with full capacity and eps=0 compression must be exact (same samples)
+    np.testing.assert_allclose(np.asarray(r0["rgb_volume"]),
+                               np.asarray(r1["rgb_volume"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r0["depth_volume"]),
+                               np.asarray(r1["depth_volume"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(r0["mask_volume"]),
+                               np.asarray(r1["mask_volume"]), atol=2e-5)
+    assert int(vb1["n_compact"]) > 0
+
+
+def test_nerf_compressed_grad_flows():
+    m = _nerf_model({"query_mode": "march_occ_compressed",
+                     "compression_factor": 0.5})
+    m.populate()
+    graphdef, params, rest = nnx.split(m, nnx.Param, ...)
+    o = jnp.asarray([[-2.0, 0.0, 0.0], [0.0, -2.0, 0.1]])
+    d = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+
+    def loss_fn(p):
+        mm = nnx.merge(graphdef, p, rest)
+        rendered, _ = mm.ray_query(mm.ray_test(o, d))
+        return jnp.mean(rendered["rgb_volume"] ** 2) + \
+            jnp.mean(rendered["depth_volume"] ** 2)
+
+    loss, g = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gnorm = float(jnp.sqrt(sum(jnp.sum(l ** 2)
+                               for l in jax.tree_util.tree_leaves(g))))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def _neus_sphere_model(query_cfg):
+    from nr3d_lib_tpu.models.fields.sdf import pretrain_sdf_sphere
+    from nr3d_lib_tpu.models.model_base import LoTDNeuSModel
+
+    model = LoTDNeuSModel(
+        field_cfg={"surface_cfg": {
+            "encoding_cfg": {"lotd_cfg": {
+                "lod_res": [8, 16, 32], "lod_n_feats": 2,
+                "lod_types": "Dense"}},
+            "decoder_cfg": {"D": 1, "W": 32}},
+            "radiance_cfg": {"D": 1, "W": 16},
+            "var_ctrl_cfg": {"type": "learned", "init_val": 256.0}},
+        accel_cfg={"resolution": 16, "max_steps_per_ray": 64,
+                   "step_size": 2 / 32},
+        ray_query_cfg=query_cfg)
+    pretrain_sdf_sphere(model.field.implicit_surface, jax.random.key(0),
+                        radius=0.5, n_iters=400)
+    model.populate()
+    return model
+
+
+@pytest.fixture(scope="module")
+def neus_sphere_models():
+    m_st = _neus_sphere_model({"query_mode": "sphere_trace", "n_band": 24,
+                               "n_tail": 8})
+    return m_st
+
+
+def test_neus_sphere_trace_query(neus_sphere_models):
+    m = neus_sphere_models
+    # rays that hit the r=0.5 sphere head-on, plus one miss
+    o = jnp.asarray([[-2.0, 0.0, 0.0], [0.0, -2.0, 0.0], [2.0, 2.0, 2.0],
+                     [-2.0, 0.9, 0.0]])
+    d = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+                     [-0.5774, -0.5774, -0.5774], [1.0, 0.0, 0.0]])
+    rt = m.ray_test(o, d)
+    rendered, vb = m.ray_query(rt)
+    hit = np.asarray(vb["hit"])
+    assert hit[:3].all() and not hit[3]
+    # analytic hit depths: 1.5, 1.5, sqrt(12)-0.5
+    t_exp = np.asarray([1.5, 1.5, np.sqrt(12.0) - 0.5])
+    np.testing.assert_allclose(np.asarray(vb["t_hit"])[:3], t_exp, atol=0.06)
+    # volumetric depth should agree with trace depth in the band
+    d_vol = np.asarray(rendered["depth_volume"])[:3]
+    np.testing.assert_allclose(d_vol, t_exp, atol=0.08)
+    assert np.asarray(rendered["mask_volume"])[:3].min() > 0.5
+    assert np.asarray(rendered["mask_volume"])[3] < 1e-3
+
+
+def test_neus_sphere_trace_vs_march_occ(neus_sphere_models):
+    m = neus_sphere_models
+    o = jnp.asarray([[-2.0, 0.3, 0.1], [0.0, -2.0, -0.2]])
+    d = o / jnp.linalg.norm(o, axis=-1, keepdims=True) * -1.0
+    rt = m.ray_test(o, d)
+    r_st, _ = m.ray_query(rt)
+
+    # the populate-time occ band at inv_s=256 is razor-thin; give the marcher
+    # full occupancy so the comparison isolates the query strategies
+    m.accel.occ.val_grid[...] = jnp.ones_like(m.accel.occ.val_grid[...])
+    m.ray_query_cfg = {"query_mode": "march_occ_multi_upsample",
+                       "upsample_inv_s_factors": [1.0, 4.0],
+                       "n_importance": 16}
+    r_mo, _ = m.ray_query(rt)
+    np.testing.assert_allclose(np.asarray(r_st["depth_volume"]),
+                               np.asarray(r_mo["depth_volume"]), atol=0.1)
+    # restore
+    m.ray_query_cfg = {"query_mode": "sphere_trace", "n_band": 24, "n_tail": 8}
+
+
+def test_neus_compressed_dispatch():
+    from nr3d_lib_tpu.models.model_base import LoTDNeuSModel
+
+    m = LoTDNeuSModel(
+        field_cfg={"surface_cfg": {
+            "encoding_cfg": {"lotd_cfg": {
+                "lod_res": [8, 16], "lod_n_feats": 2, "lod_types": "Dense"}},
+            "decoder_cfg": {"D": 1, "W": 16}},
+            "radiance_cfg": {"D": 1, "W": 16}},
+        accel_cfg={"resolution": 16, "max_steps_per_ray": 48,
+                   "step_size": 2 / 24},
+        ray_query_cfg={"query_mode": "march_occ_multi_upsample_compressed",
+                       "upsample_inv_s_factors": [1.0, 4.0],
+                       "n_importance": 8, "compression_factor": 0.5})
+    m.populate()
+    o = jnp.asarray([[-2.0, 0.0, 0.0], [0.0, -2.0, 0.1]])
+    d = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    rendered, vb = m.ray_query(m.ray_test(o, d), key=jax.random.key(0))
+    assert np.isfinite(np.asarray(rendered["rgb_volume"])).all()
+    assert "t_packed" in vb
