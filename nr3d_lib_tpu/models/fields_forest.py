@@ -156,12 +156,28 @@ class LoTDForestNeRF(nnx.Module):
 
 class LoTDForestNeuSModel(nnx.Module):
     """Renderable forest NeuS (reference: NeuSRendererMixinForest,
-    fields_forest/neus/renderer_mixin.py:734 ray_query)."""
+    fields_forest/neus/renderer_mixin.py:133/274/734).
+
+    Round-2 upgrades over the fixed-step round-1 query:
+      * per-block occupancy acceleration (OccGridAccelForest ↔ reference
+        occgrid_accel/forest.py:37 + forest_marching.cu:27) — empty blocks
+        AND empty cells inside occupied blocks produce no samples;
+      * NeuS importance upsampling on the marched candidates (reference
+        renderer_mixin.py:274 _forest_ray_query_inblock_march_occ_multi_upsample);
+      * budgeted compaction before the expensive nablas+radiance query —
+        masked slots never reach the network.
+    """
 
     def __init__(self, space_cfg: Optional[dict] = None, *,
                  field_cfg: Optional[dict] = None,
+                 accel_cfg: Optional[dict] = None,
                  n_march_steps: int = 256, step_size: Optional[float] = None,
-                 seed: int = 0):
+                 upsample_inv_s_factors=(1.0, 4.0), n_importance: int = 16,
+                 upsample_inv_s: float = 64.0,
+                 compression_factor: float = 0.25, seed: int = 0):
+        from nr3d_lib_tpu.models.accelerations.occgrid_forest import (
+            OccGridAccelForest)
+
         self.space = ForestBlockSpace(**(space_cfg or {}))
         if self.space.n_trees == 0:
             # default: fully-occupied forest until populated
@@ -171,38 +187,97 @@ class LoTDForestNeuSModel(nnx.Module):
         self.field = LoTDForestNeuS(self.space, **(field_cfg or {}), seed=seed)
         self.n_march_steps = n_march_steps
         self.step_size = step_size or (self.space.block_size / 16.0)
+        self.accel = OccGridAccelForest(
+            self.space, step_size=self.step_size,
+            max_steps_per_ray=n_march_steps, **(accel_cfg or {}))
+        self.upsample_inv_s_factors = tuple(upsample_inv_s_factors)
+        self.n_importance = int(n_importance)
+        self.upsample_inv_s = float(upsample_inv_s)
+        self.compression_factor = float(compression_factor)
+
+    # ------------------------------------------------------------ lifecycle
+    def query_occ_val(self, x_world: Array) -> Array:
+        sdf = self.field.implicit_surface.forward_sdf(x_world)["sdf"]
+        inv_s = jax.lax.stop_gradient(self.field.forward_inv_s())
+        return jax.nn.sigmoid(-jnp.abs(sdf) * inv_s) * 4.0
+
+    def populate(self, key=None):
+        self.accel.init(key if key is not None else jax.random.key(0), self.query_occ_val)
+
+    def training_before_per_step(self, it: int, key=None):
+        self.field.implicit_surface.space  # block set fixed during training
+        self.field.var_ctrl.set_iter(it)
+        self.accel.step(it, key if key is not None else jax.random.key(it), self.query_occ_val)
 
     def ray_test(self, rays_o: Array, rays_d: Array, **kw) -> Dict:
         return self.space.ray_test(rays_o, rays_d, **kw)
 
     def ray_query(self, ray_tested: Dict, key=None, with_rgb: bool = True
                   ) -> Tuple[Dict, Dict]:
+        from nr3d_lib_tpu.graphics import pack_ops as po
+        from nr3d_lib_tpu.graphics.neus import neus_packed_sdf_to_alpha
+        from nr3d_lib_tpu.graphics.neus_ray_query import _upsample_rounds
+
         rays_o, rays_d = ray_tested["rays_o"], ray_tested["rays_d"]
         near, far, ray_mask = (ray_tested["near"], ray_tested["far"],
                                ray_tested["mask"])
-        t, dt, bidx, smask = self.space.ray_march_blocks(
-            rays_o, rays_d, near, far, n_steps=self.n_march_steps,
-            step_size=self.step_size, perturb_key=key)
-        r, s = t.shape
-        x = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
-        flat_x = x.reshape(r * s, 3)
-        out = self.field.implicit_surface.forward_sdf_nablas(flat_x)
-        sdf = jnp.where(smask, out["sdf"].reshape(r, s), 1e4)
+        key_m = None
+        if key is not None:
+            key, key_m = jax.random.split(key)
+        t, dt, bidx, smask = self.accel.ray_march(
+            rays_o, rays_d, near, far, perturb_key=key_m)
+        r = t.shape[0]
+
+        def sdf_fn(x):
+            return self.field.implicit_surface.forward_sdf(x)["sdf"]
+
+        # importance upsampling on world-space rays (forest fields take world
+        # coords; block-local normalization happens inside the field)
+        t, valid = _upsample_rounds(sdf_fn, rays_o, rays_d, t, smask, far,
+                                    self.upsample_inv_s,
+                                    self.upsample_inv_s_factors,
+                                    self.n_importance, key)
+        s = t.shape[1]
         inv_s = self.field.forward_inv_s()
-        alpha = neus_ray_sdf_to_alpha(sdf, inv_s, append_cdf_1=True)
-        alpha = jnp.where(smask & ray_mask[:, None], alpha, 0.0)
-        vw = ray_alpha_to_vw(alpha)
-        acc = jnp.sum(vw, -1)
+
+        # cheap SDF pass → keep mask → budgeted compaction (empty-block and
+        # dead samples never reach the nablas/radiance query)
+        x = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
+        sdf_d = jnp.where(valid, sdf_fn(x.reshape(r * s, 3)).reshape(r, s), 1e4)
+        alpha_d = neus_ray_sdf_to_alpha(sdf_d, inv_s, append_cdf_1=True)
+        alpha_d = jnp.where(valid & ray_mask[:, None], alpha_d, 0.0)
+        trans = jnp.cumprod(jnp.concatenate(
+            [jnp.ones_like(alpha_d[:, :1]), 1.0 - alpha_d[:, :-1]], -1), -1)
+        keep = valid & ray_mask[:, None] & (trans > 1e-4)
+        capacity = max(int(r * s * self.compression_factor), r)
+        budget = max(capacity // r, 1)
+        rank = jnp.cumsum(keep.astype(jnp.int32), -1) - 1
+        keep = keep & (rank < budget)
+        t_p, ridx = po.dense_to_packed(t, keep, capacity)
+        vmask = ridx < r
+        sel = jnp.minimum(ridx, r - 1)
+        x_p = rays_o[sel] + rays_d[sel] * t_p[:, None]
+
+        out = self.field.implicit_surface.forward_sdf_nablas(x_p)
+        sdf_p = jnp.where(vmask, out["sdf"], 1e4)
+        alpha_p = jnp.where(vmask, neus_packed_sdf_to_alpha(
+            sdf_p, inv_s, ridx, append_cdf_1=True), 0.0)
+        vw = po.packed_alpha_to_vw(alpha_p, ridx)
+        acc = po.packed_sum(vw, ridx, r)
+        depth = po.packed_sum(vw * t_p, ridx, r) / jnp.maximum(acc, 1e-10)
         rendered = {"mask_volume": jnp.where(ray_mask, acc, 0.0),
-                    "depth_volume": jnp.where(
-                        ray_mask, jnp.sum(vw * t, -1) / jnp.maximum(acc, 1e-10),
-                        0.0)}
+                    "depth_volume": jnp.where(ray_mask, depth, 0.0)}
         if with_rgb:
-            v = jnp.broadcast_to(rays_d[:, None, :], (r, s, 3)).reshape(r * s, 3)
-            rgb = self.field.radiance(None, v, out["nablas"], out["h"])
-            rgb = rgb.reshape(r, s, 3)
+            rgb = self.field.radiance(None, rays_d[sel], out["nablas"],
+                                      out["h"])
             rendered["rgb_volume"] = jnp.where(
-                ray_mask[:, None], jnp.sum(vw[..., None] * rgb, -2), 0.0)
-        vb = {"t": t, "alpha": alpha, "vw": vw, "sdf": sdf, "bidx": bidx,
-              "nablas": out["nablas"].reshape(r, s, 3), "ray_mask": ray_mask}
+                ray_mask[:, None], po.packed_sum(vw[:, None] * rgb, ridx, r),
+                0.0)
+        nrm = po.packed_sum(vw[:, None] * out["nablas"], ridx, r)
+        rendered["normals_volume"] = jnp.where(ray_mask[:, None], nrm, 0.0)
+        vb = {"t_packed": t_p, "ridx": ridx, "alpha_packed": alpha_p,
+              "vw_packed": vw, "sdf_packed": sdf_p,
+              "nablas_packed": out["nablas"], "x_packed": x_p,
+              "ray_mask": ray_mask, "n_compact": jnp.sum(vmask),
+              "n_marched": jnp.sum(smask)}
         return rendered, vb

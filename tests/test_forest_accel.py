@@ -1,0 +1,152 @@
+"""Forest acceleration: per-block occupancy, empty-block skipping, sharded
+forest training (VERDICT round-1 item #3; reference:
+occgrid_accel/forest.py:37, csrc/occ_grid/src/forest_marching.cu:27,
+fields_forest/neus/renderer_mixin.py:274)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+
+def _two_block_model(**kw):
+    from nr3d_lib_tpu.models.fields_forest import LoTDForestNeuSModel
+
+    m = LoTDForestNeuSModel(
+        space_cfg={"resolution": (2, 2, 2), "origin": (-1, -1, -1),
+                   "block_size": 1.0},
+        field_cfg={"surface_cfg": {
+            "lotd_cfg": {"lod_res": [6], "lod_n_feats": 2,
+                         "lod_types": "Dense"},
+            "decoder_cfg": {"D": 1, "W": 16}},
+            "radiance_cfg": {"D": 1, "W": 16}},
+        n_march_steps=64, **kw)
+    return m
+
+
+def test_forest_accel_query_and_march():
+    from nr3d_lib_tpu.models.accelerations.occgrid_forest import (
+        OccGridAccelForest)
+    from nr3d_lib_tpu.models.spatial.forest import ForestBlockSpace
+
+    sp = ForestBlockSpace(resolution=(2, 1, 1), origin=(-1.0, 0.0, 0.0),
+                          block_size=1.0)
+    sp.populate_from_corners(np.asarray([[0, 0, 0], [1, 0, 0]]))
+    accel = OccGridAccelForest(sp, resolution=(4, 4, 4))
+    # occupy only block 0's cells (block 1 fully empty)
+    occ_vals = np.zeros((2, 4, 4, 4), np.float32)
+    occ_vals[0] = 1.0
+    accel.occ.val_grid[...] = jnp.asarray(occ_vals)
+
+    # points: one in block 0, one in block 1, one outside
+    x = jnp.asarray([[-0.5, 0.5, 0.5], [0.5, 0.5, 0.5], [3.0, 0.5, 0.5]])
+    occ = np.asarray(accel.query(x))
+    assert occ[0] and not occ[1] and not occ[2]
+
+    # ray through both blocks: only block-0 samples survive
+    o = jnp.asarray([[-2.0, 0.5, 0.5]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    rt = sp.ray_test(o, d)
+    t, dt, bidx, mask = accel.ray_march(o, d, rt["near"], rt["far"])
+    xs = np.asarray(o[0, 0] + d[0, 0] * t[0])
+    m = np.asarray(mask[0])
+    assert m.any()
+    assert (xs[m] < 0.0).all(), "samples in the empty block must be masked"
+
+
+def test_forest_empty_block_skipping_reduces_samples():
+    """VERDICT #3 'done' criterion: sample counts drop with empty blocks."""
+    m_full = _two_block_model()
+    m_sparse = _two_block_model()
+    # sparse: keep only one of the 8 blocks' occupancy
+    v = np.zeros(np.asarray(m_sparse.accel.occ.val_grid[...]).shape, np.float32)
+    v[0] = 1.0
+    m_sparse.accel.occ.val_grid[...] = jnp.asarray(v)
+
+    o = jnp.asarray([[-2.0, -0.5, -0.5], [2.0, 0.5, 0.5], [-2.0, 0.4, 0.4]])
+    d = jnp.asarray([[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    rt = m_full.ray_test(o, d)
+    _, vb_full = m_full.ray_query(rt)
+    _, vb_sparse = m_sparse.ray_query(rt)
+    n_full, n_sparse = int(vb_full["n_marched"]), int(vb_sparse["n_marched"])
+    assert n_sparse < n_full * 0.5, (n_sparse, n_full)
+
+
+def test_forest_model_train_step_with_accel():
+    m = _two_block_model()
+    m.populate()
+    graphdef, params, rest = nnx.split(m, nnx.Param, ...)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    o = jnp.asarray([[-2.0, 0.1, 0.1], [2.0, 0.3, -0.2]])
+    d = jnp.asarray([[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]])
+    gt = jnp.asarray([[0.2, 0.4, 0.6], [0.6, 0.4, 0.2]])
+
+    @jax.jit
+    def step(params, opt_state, key):
+        def loss_fn(p):
+            mm = nnx.merge(graphdef, p, rest)
+            r, vb = mm.ray_query(mm.ray_test(o, d), key=key)
+            eik = jnp.mean((jnp.linalg.norm(vb["nablas_packed"], axis=-1)
+                            - 1.0) ** 2)
+            return jnp.mean((r["rgb_volume"] - gt) ** 2) + 0.01 * eik
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state2 = opt.update(g, opt_state)
+        return optax.apply_updates(params, upd), opt_state2, loss
+
+    losses = []
+    for it in range(5):
+        m2 = nnx.merge(graphdef, params, rest)
+        m2.training_before_per_step(it, jax.random.key(100 + it))
+        _, _, rest = nnx.split(m2, nnx.Param, ...)
+        params, opt_state, loss = step(params, opt_state, jax.random.key(it))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_forest_sharded_train_step():
+    """Block-axis-sharded forest training on the 8-device CPU mesh:
+    per-block LoTD params placed block→device, grads psum'd by pjit
+    (VERDICT #3 'done': sharded forest train-step)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nr3d_lib_tpu.parallel import make_mesh
+
+    m = _two_block_model()
+    graphdef, params, rest = nnx.split(m, nnx.Param, ...)
+    mesh = make_mesh([8], ("block",))
+
+    def shard_leaf(path, leaf):
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path)
+        if "flattened_params" in name and leaf.ndim == 2 \
+                and leaf.shape[0] % 8 == 0:
+            return jax.device_put(leaf, NamedSharding(mesh, P("block", None)))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    params_sh = jax.tree_util.tree_map_with_path(shard_leaf, params)
+
+    o = jnp.asarray([[-2.0, 0.1, 0.1], [2.0, 0.3, -0.2]])
+    d = jnp.asarray([[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]])
+    gt = jnp.asarray([[0.2, 0.4, 0.6], [0.6, 0.4, 0.2]])
+
+    def loss_fn(p):
+        mm = nnx.merge(graphdef, p, rest)
+        r, _ = mm.ray_query(mm.ray_test(o, d))
+        return jnp.mean((r["rgb_volume"] - gt) ** 2)
+
+    g_ref = jax.grad(loss_fn)(params)
+    g_sh = jax.jit(jax.grad(loss_fn))(params_sh)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # the per-block grad really is laid out over the block axis
+    enc_g = [leaf for path, leaf in jax.tree_util.tree_leaves_with_path(g_sh)
+             if "flattened_params" in "/".join(
+                 str(getattr(p, "key", getattr(p, "idx", p))) for p in path)][0]
+    assert len(enc_g.sharding.device_set) == 8
