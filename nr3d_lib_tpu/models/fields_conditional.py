@@ -40,7 +40,8 @@ class GenerativePermutoConcatSDF(nnx.Module):
     def __init__(self, z_dim: int = 4, *,
                  permuto_cfg: Optional[dict] = None,
                  decoder_cfg: Optional[dict] = None,
-                 n_geo_feat: int = 15, z_scale: float = 1.0, seed: int = 0):
+                 n_geo_feat: int = 15, z_scale: float = 1.0,
+                 radius_init: float = 0.5, seed: int = 0):
         cfg = dict(permuto_cfg or {})
         cfg.setdefault("res_list", [8.0, 16.0, 32.0, 64.0])
         cfg.setdefault("n_feats", 2)
@@ -50,6 +51,9 @@ class GenerativePermutoConcatSDF(nnx.Module):
             cfg["log2_hashmap_size"])
         self.z_dim = z_dim
         self.z_scale = z_scale
+        # geometric init: analytic sphere residual so every instance starts
+        # as a valid surface (reference: generative_permuto_sdf geo_init)
+        self.radius_init = float(radius_init)
         self.flattened_params = nnx.Param(
             jax.random.uniform(jax.random.key(seed), (self.meta.n_params,),
                                jnp.float32, -1e-4, 1e-4))
@@ -66,7 +70,11 @@ class GenerativePermutoConcatSDF(nnx.Module):
         inp = jnp.concatenate([x * 0.5 + 0.5,
                                jnp.tanh(z * self.z_scale) * 0.5 + 0.5], -1)
         h = _permuto.permuto_encode(inp, self.flattened_params[...], self.meta)
-        return self.decoder(jnp.concatenate([x, h], -1))
+        out = self.decoder(jnp.concatenate([x, h], -1))
+        if self.radius_init > 0:
+            sphere = jnp.linalg.norm(x, axis=-1) - self.radius_init
+            out = out.at[..., 0].add(sphere)
+        return out
 
     def forward_sdf(self, x: Array, z: Array) -> Dict[str, Array]:
         out = self._sdf_h(x, z)
@@ -106,21 +114,10 @@ class GenerativePermutoConcatNeuS(nnx.Module):
         return out
 
 
-class LoTDDenseGrower(nnx.Module):
-    """Hypernetwork z → flattened LoTD params (reference:
-    lotd_batched_growers.py:52-753 — the Mixed/Dense grower family reduced to
-    its core: an MLP emitting every level's parameters)."""
-
-    def __init__(self, z_dim: int, meta: _lotd.LoDMeta, *,
-                 D: int = 2, W: int = 256, out_scale: float = 1e-2,
-                 seed: int = 0):
-        self.meta = meta
-        self.out_scale = out_scale
-        self.mlp = MLP(z_dim, meta.n_params, D=D, W=W, seed=seed)
-
-    def __call__(self, z: Array) -> Array:
-        """z [B, z_dim] → params [B, n_params]."""
-        return self.mlp(z) * self.out_scale
+# the full decomposition-aware grower family lives in lotd_growers; the
+# dense-flatten grower is re-exported here for backward compatibility
+from nr3d_lib_tpu.models.grid_encodings.lotd.lotd_growers import (  # noqa: E402
+    LoTDFlattenGrower as LoTDDenseGrower, get_lotd_grower)
 
 
 class StyleLoTDSDF(nnx.Module):
@@ -138,8 +135,10 @@ class StyleLoTDSDF(nnx.Module):
         self.meta = _lotd.generate_meta(3, cfg["lod_res"], cfg["lod_n_feats"],
                                         cfg["lod_types"],
                                         hashmap_size=cfg.get("hashmap_size"))
-        self.grower = LoTDDenseGrower(z_dim, self.meta, **(grower_cfg or {}),
-                                      seed=seed)
+        gcfg = dict(grower_cfg or {})
+        gtype = gcfg.pop("type", "flatten")
+        gcfg.setdefault("seed", seed)
+        self.grower = get_lotd_grower(gtype, z_dim, self.meta, **gcfg)
         dec = dict(decoder_cfg or {})
         dec.setdefault("D", 1)
         dec.setdefault("W", 64)
@@ -186,3 +185,13 @@ class StyleLoTDNeuS(nnx.Module):
 
     def forward_inv_s(self):
         return self.var_ctrl.inv_s()
+
+    def __call__(self, x: Array, v: Array, z: Array,
+                 bidx: Optional[Array] = None,
+                 with_rgb: bool = True) -> Dict[str, Array]:
+        """z is the per-INSTANCE latent table [B, z_dim]; bidx [N] selects
+        each point's instance (grower runs once per instance, not per point)."""
+        out = self.implicit_surface.forward_sdf_nablas(x, z, bidx)
+        if with_rgb:
+            out["rgb"] = self.radiance(x, v, out["nablas"], out["h"])
+        return out

@@ -31,7 +31,9 @@ class DynamicPermutoConcatSDF(nnx.Module):
 
     def __init__(self, *, permuto_cfg: Optional[dict] = None,
                  decoder_cfg: Optional[dict] = None,
-                 n_geo_feat: int = 15, seed: int = 0):
+                 n_geo_feat: int = 15, radius_init: float = 0.5,
+                 seed: int = 0):
+        self.radius_init = float(radius_init)
         cfg = dict(permuto_cfg or {})
         cfg.setdefault("res_list", [8.0, 16.0, 32.0, 64.0, 128.0])
         cfg.setdefault("n_feats", 2)
@@ -54,7 +56,12 @@ class DynamicPermutoConcatSDF(nnx.Module):
                               x.shape[:-1] + (1,))
         inp = jnp.concatenate([x * 0.5 + 0.5, ts * 0.5 + 0.5], -1)
         h = _permuto.permuto_encode(inp, self.flattened_params[...], self.meta)
-        return self.decoder(jnp.concatenate([x, h], -1))
+        out = self.decoder(jnp.concatenate([x, h], -1))
+        if self.radius_init > 0:
+            # geometric init (sphere residual) — see fields_conditional.py
+            out = out.at[..., 0].add(jnp.linalg.norm(x, axis=-1)
+                                     - self.radius_init)
+        return out
 
     def forward_sdf(self, x: Array, ts: Array) -> Dict[str, Array]:
         out = self._sdf_h(x, ts)
