@@ -29,9 +29,9 @@ import time
 import numpy as np
 
 
-def _timed(fn):
+def _timed(fn, *args):
     t0 = time.perf_counter()
-    float(fn(0.0))
+    float(fn(0.0, *args))
     return time.perf_counter() - t0
 
 
@@ -64,48 +64,49 @@ def main():
     x_ray = jnp.clip(o + d * t, 0.0, 0.999).reshape(n_rays * n_samp, 3)
     x_ray = x_ray[:n_pts]
 
-    def make_fwd(coherent):
-        return jax.jit(lambda xx: B.brick_encode(xx, table, meta, True,
-                                                 coherent))
+    # IMPORTANT: x/table must be jit ARGUMENTS, never closure captures — a
+    # large closed-over device array becomes a jaxpr constant and the axon
+    # compile path degenerates (274 s vs 3 s observed for the same program).
+    def fwd(xx, tt, coherent):
+        return B.brick_encode(xx, tt, meta, True, coherent)
 
-    def make_fwdbwd(coherent):
-        def fwdbwd_fn(xx):
-            def loss(tt, xi):
-                return jnp.sum(B.brick_encode(xi, tt, meta, True,
-                                              coherent) ** 2)
+    def fwdbwd(xx, tt, coherent):
+        def loss(t_, x_):
+            return jnp.sum(B.brick_encode(x_, t_, meta, True, coherent) ** 2)
 
-            l, (dt_, dx_) = jax.value_and_grad(
-                lambda tt, xi: loss(tt, xi), argnums=(0, 1))(table, xx)
-            return l + jnp.sum(dt_[0]) * 1e-30 + jnp.sum(dx_[0]) * 1e-30
+        l, (dt_, dx_) = jax.value_and_grad(loss, argnums=(0, 1))(tt, xx)
+        return l + jnp.sum(dt_[0]) * 1e-30 + jnp.sum(dx_[0]) * 1e-30
 
-        return jax.jit(fwdbwd_fn)
+    def chain(run, coherent, n):
+        def chained(c, x0, tt):
+            def body(i, carry):
+                cc, acc = carry
+                y = run(x0 * (1.0 + cc * 1e-30), tt, coherent)
+                s = jnp.sum(y.astype(jnp.float32)) if y.ndim else y
+                return (s.astype(jnp.float32) * 1e-30,
+                        acc + s.astype(jnp.float32))
 
-    def chain(run, x0, n):
-        def body(i, carry):
-            c, acc = carry
-            y = run(x0 * (1.0 + c * 1e-30))
-            s = jnp.sum(y.astype(jnp.float32)) if y.ndim else y
-            return s.astype(jnp.float32) * 1e-30, acc + s.astype(jnp.float32)
+            return jax.lax.fori_loop(0, n, body, (c, 0.0))[1]
 
-        return jax.jit(lambda c: jax.lax.fori_loop(0, n, body, (c, 0.0))[1])
+        return jax.jit(chained)
 
-    def measure(run, x0, n_hi=4):
-        lo, hi = chain(run, x0, 1), chain(run, x0, n_hi)
-        float(lo(0.0))
-        float(hi(0.0))
-        t_lo = min(_timed(lo) for _ in range(2))
-        t_hi = min(_timed(hi) for _ in range(2))
+    def measure(run, coherent, x0, n_hi=4):
+        lo, hi = chain(run, coherent, 1), chain(run, coherent, n_hi)
+        float(lo(0.0, x0, table))
+        float(hi(0.0, x0, table))
+        t_lo = min(_timed(lo, x0, table) for _ in range(2))
+        t_hi = min(_timed(hi, x0, table) for _ in range(2))
         dt = (t_hi - t_lo) / (n_hi - 1)
         return n_pts / dt / 1e9
 
     import sys
 
     detail = {}
-    for name, mk, xx in [("fwd_random_gs", make_fwd(False), x_rand),
-                         ("fwd_ray_gs", make_fwd(True), x_ray),
-                         ("fwdbwd_random_gs", make_fwdbwd(False), x_rand),
-                         ("fwdbwd_ray_gs", make_fwdbwd(True), x_ray)]:
-        detail[name] = round(measure(mk, xx), 4)
+    for name, run, coh, xx in [("fwd_random_gs", fwd, False, x_rand),
+                               ("fwd_ray_gs", fwd, True, x_ray),
+                               ("fwdbwd_random_gs", fwdbwd, False, x_rand),
+                               ("fwdbwd_ray_gs", fwdbwd, True, x_ray)]:
+        detail[name] = round(measure(run, coh, xx), 4)
         print(f"# {name} = {detail[name]}", file=sys.stderr, flush=True)
     # roofline context: 8 scalar row-gathers/pt at ~0.94G issue/s ceiling
     detail["issue_rate_ceiling_random_gs"] = 0.117

@@ -112,34 +112,73 @@ def fisheye_distort(xn: Array, dist: Array) -> Array:
     return jnp.stack([x * scale, y * scale], -1)
 
 
+def fisheye_undistort(xd: Array, dist: Array, iters: int = 10) -> Array:
+    """Inverse of `fisheye_distort` (reference fisheye.py undistortion):
+    Newton-solve θ from θ_d = θ·(1 + k1·θ² + ...), then r = tan θ.
+
+    Fixed iteration count → jit-static; converges in <10 iters for any
+    physical lens (|θ| < π/2)."""
+    dist = jnp.asarray(dist, xd.dtype)
+    k1, k2, k3, k4 = dist[..., 0], dist[..., 1], dist[..., 2], dist[..., 3]
+    r_d = jnp.linalg.norm(xd, axis=-1)
+    theta_d = r_d
+
+    def body(i, theta):
+        t2 = theta * theta
+        f = theta * (1 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4)))) - theta_d
+        fp = (1 + t2 * (3 * k1 + t2 * (5 * k2 + t2 * (7 * k3 + t2 * 9 * k4))))
+        return theta - f / jnp.where(jnp.abs(fp) > 1e-6, fp,
+                                     jnp.sign(fp) * 1e-6 + 1e-12)
+
+    theta = jax.lax.fori_loop(0, iters, body, theta_d)
+    scale = jnp.where(r_d > 1e-8, jnp.tan(theta) / jnp.maximum(r_d, 1e-8), 1.0)
+    return xd * scale[..., None]
+
+
 # ----------------------------------------------------------------- frustums
 def frustum_culling_aabb(intr: Array, c2w: Array, hw: Tuple[int, int],
-                         aabb: Array, near: float = 0.0, far: float = 100.0
+                         aabb: Array, near: float = 1e-3, far: float = 100.0
                          ) -> Array:
-    """Conservative test: does the camera frustum intersect the AABB?
-    (reference common.py:84-146). Checks AABB corners against frustum planes.
-    Returns bool (scalar or batched over leading dims)."""
+    """Conservative frustum↔AABB intersection (reference common.py:84-146).
+
+    Two-way plane test (the standard SAT-lite): the boxes are disjoint if
+    all 8 AABB corners lie outside one frustum half-space, OR all 8 frustum
+    corners lie outside one AABB face. Never culls a visible box; rare
+    near-miss false positives are acceptable for its use (skipping chunks).
+    c2w [..., 4, 4] may be batched; returns bool [...]."""
     h, w = hw
-    corners = jnp.stack(jnp.meshgrid(aabb[:, 0], aabb[:, 1], aabb[:, 2],
-                                     indexing="ij"), -1).reshape(8, 3)
-    w2c_r = jnp.swapaxes(c2w[..., :3, :3], -1, -2)
+    box = jnp.stack(jnp.meshgrid(aabb[:, 0], aabb[:, 1], aabb[:, 2],
+                                 indexing="ij"), -1).reshape(8, 3)   # [8,3]
+    r_c2w = c2w[..., :3, :3]
     t = c2w[..., :3, 3]
-    cam = jnp.einsum("...ij,kj->...ki", w2c_r, corners - t[..., None, :]
-                     if t.ndim == 1 else corners[None] - t[..., None, :])
-    if cam.ndim == 2:
-        cam = cam
-    uv, z = pinhole_project(cam, intr[..., None, :, :] if intr.ndim > 2 else intr)
-    in_front = z > near
-    behind_far = z < far
-    inside_u = (uv[..., 0] > 0) & (uv[..., 0] < w)
-    inside_v = (uv[..., 1] > 0) & (uv[..., 1] < h)
-    # conservative: any corner projecting inside, or corners straddling
-    any_inside = jnp.any(in_front & behind_far & inside_u & inside_v, axis=-1)
-    straddle = jnp.any(z > near, -1) & jnp.any(
-        (uv[..., 0] < w) & (uv[..., 0] > 0) | True, -1) & (
-        jnp.any(uv[..., 0] < w, -1) & jnp.any(uv[..., 0] > 0, -1)
-        & jnp.any(uv[..., 1] < h, -1) & jnp.any(uv[..., 1] > 0, -1))
-    return any_inside | (straddle & jnp.any(in_front, -1))
+    # AABB corners in camera space
+    cam = jnp.einsum("...ji,...kj->...ki", r_c2w, box - t[..., None, :])
+    fx, fy = intr[..., 0, 0], intr[..., 1, 1]
+    cx, cy = intr[..., 0, 2], intr[..., 1, 2]
+    x, y, z = cam[..., 0], cam[..., 1], cam[..., 2]
+    # frustum half-space tests on AABB corners (all-outside-one-plane culls)
+    out = jnp.stack([
+        jnp.all(z < near, -1), jnp.all(z > far, -1),
+        # u = fx·x/z + cx < 0  ⇔  fx·x + cx·z < 0 for z>0 (sign-safe form)
+        jnp.all(fx[..., None] * x + cx[..., None] * z < 0, -1),
+        jnp.all(fx[..., None] * x + (cx[..., None] - w) * z > 0, -1),
+        jnp.all(fy[..., None] * y + cy[..., None] * z < 0, -1),
+        jnp.all(fy[..., None] * y + (cy[..., None] - h) * z > 0, -1)], -1)
+    frustum_rejects = jnp.any(out, -1)
+
+    # frustum corners in world space vs AABB faces
+    us = jnp.asarray([0.0, float(w)])
+    vs = jnp.asarray([0.0, float(h)])
+    uu, vv, dd = jnp.meshgrid(us, vs, jnp.asarray([near, far]), indexing="ij")
+    xc = (uu - cx[..., None, None, None]) / fx[..., None, None, None] * dd
+    yc = (vv - cy[..., None, None, None]) / fy[..., None, None, None] * dd
+    fc_cam = jnp.stack([xc, yc, jnp.broadcast_to(dd, xc.shape)], -1)
+    fc_cam = fc_cam.reshape(fc_cam.shape[:-4] + (8, 3))
+    fc_w = jnp.einsum("...ij,...kj->...ki", r_c2w, fc_cam) + t[..., None, :]
+    box_rejects = jnp.any(jnp.concatenate([
+        jnp.all(fc_w < aabb[None, 0], -2),
+        jnp.all(fc_w > aabb[None, 1], -2)], -1), -1)
+    return ~(frustum_rejects | box_rejects)
 
 
 # ------------------------------------------------------------ normalization

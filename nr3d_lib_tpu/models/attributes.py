@@ -29,9 +29,11 @@ from nr3d_lib_tpu.maths.transforms import (
 
 __all__ = [
     "RotationQuaternion", "RotationAxisAngle", "Rotation6D", "RotationMat3x3",
-    "TransformRT", "TransformMat4x4", "Scale",
-    "PinholeCameraIntrinsics", "OpenCVCameraIntrinsics",
+    "TransformRT", "TransformMat4x4", "TransformExpSE3", "Scale",
+    "PinholeCameraIntrinsics", "PinholeCameraHWF", "PinholeCameraHWFRatio",
+    "PinholeCameraHWFExp", "OpenCVCameraIntrinsics",
     "FisheyeCameraIntrinsics", "OrthoCameraIntrinsics", "Segment",
+    "attr_index", "attr_stack", "attr_concat", "attr_interp1d",
 ]
 
 Array = jax.Array
@@ -154,6 +156,46 @@ class TransformMat4x4(_TransformBase):
 
 
 @struct.dataclass
+class TransformExpSE3(_TransformBase):
+    """se(3) exponential-map pose: unit screw axis (w, v) and angle θ —
+    the pose-refinement parameterization (reference: transform.py:341
+    TransformExpSE3, after iNeRF). Identity at (w, v, θ) = 0; gradients
+    w.r.t. the 7 scalars flow through Rodrigues + the SE3 V-matrix."""
+
+    w: Array      # [..., 3] rotation axis (need not be normalized at init)
+    v: Array      # [..., 3] translation direction
+    theta: Array  # [...]
+
+    @classmethod
+    def identity(cls, shape=()):
+        return cls(jnp.zeros(shape + (3,)), jnp.zeros(shape + (3,)),
+                   jnp.zeros(shape))
+
+    def _pieces(self):
+        w = self.w
+        zeros = jnp.zeros_like(w[..., 0])
+        w_ss = jnp.stack([
+            jnp.stack([zeros, -w[..., 2], w[..., 1]], -1),
+            jnp.stack([w[..., 2], zeros, -w[..., 0]], -1),
+            jnp.stack([-w[..., 1], w[..., 0], zeros], -1)], -2)
+        w_ss2 = w_ss @ w_ss
+        th = self.theta[..., None, None]
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype),
+                               w.shape[:-1] + (3, 3))
+        rot = eye + jnp.sin(th) * w_ss + (1 - jnp.cos(th)) * w_ss2
+        V = eye * th + (1 - jnp.cos(th)) * w_ss + (th - jnp.sin(th)) * w_ss2
+        return rot, jnp.einsum("...ij,...j->...i", V, self.v)
+
+    def mat_3x4(self) -> Array:
+        rot, trans = self._pieces()
+        return jnp.concatenate([rot, trans[..., None]], -1)
+
+    def to_rt(self) -> "TransformRT":
+        rot, trans = self._pieces()
+        return TransformRT(matrix_to_quaternion(rot), trans)
+
+
+@struct.dataclass
 class Scale:
     """Per-axis scale attr (reference attr scale family)."""
 
@@ -211,6 +253,70 @@ class PinholeCameraIntrinsics(_IntrBase):
 
 
 @struct.dataclass
+class PinholeCameraHWF(_IntrBase):
+    """Single shared focal length (reference camera_param.py:403
+    PinholeCameraHWF). fx = fy = f."""
+
+    f: Array
+    cx: Array
+    cy: Array
+    H: int = struct.field(pytree_node=False, default=0)
+    W: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def fx(self):
+        return self.f
+
+    @property
+    def fy(self):
+        return self.f
+
+
+@struct.dataclass
+class PinholeCameraHWFRatio(_IntrBase):
+    """Focal stored as a ratio of image size (reference camera_param.py:367
+    PinholeCameraHWFxyRatio): fx = rx·W, fy = ry·H — resolution-invariant,
+    the natural parameterization for joint intrinsics refinement."""
+
+    rx: Array
+    ry: Array
+    cx: Array
+    cy: Array
+    H: int = struct.field(pytree_node=False, default=0)
+    W: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def fx(self):
+        return self.rx * self.W
+
+    @property
+    def fy(self):
+        return self.ry * self.H
+
+
+@struct.dataclass
+class PinholeCameraHWFExp(_IntrBase):
+    """Log-focal parameterization (reference camera_param.py:119
+    FocalRatioExp): fx = exp(log_fx) — keeps a refined focal positive with
+    scale-free gradient steps."""
+
+    log_fx: Array
+    log_fy: Array
+    cx: Array
+    cy: Array
+    H: int = struct.field(pytree_node=False, default=0)
+    W: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def fx(self):
+        return jnp.exp(self.log_fx)
+
+    @property
+    def fy(self):
+        return jnp.exp(self.log_fy)
+
+
+@struct.dataclass
 class OpenCVCameraIntrinsics(PinholeCameraIntrinsics):
     """Pinhole + OpenCV distortion (reference camera_param.py OpenCV)."""
 
@@ -252,6 +358,15 @@ class FisheyeCameraIntrinsics(PinholeCameraIntrinsics):
         v = xd[..., 1] * self.fy + self.cy
         return jnp.stack([u, v], -1), z
 
+    def lift(self, uv: Array, depth: Optional[Array] = None) -> Array:
+        from nr3d_lib_tpu.graphics.cameras import fisheye_undistort
+
+        xd = jnp.stack([(uv[..., 0] - self.cx) / self.fx,
+                        (uv[..., 1] - self.cy) / self.fy], -1)
+        xn = fisheye_undistort(xd, self.dist)
+        z = jnp.ones_like(uv[..., 0]) if depth is None else depth
+        return jnp.concatenate([xn * z[..., None], z[..., None]], -1)
+
 
 @struct.dataclass
 class OrthoCameraIntrinsics(_IntrBase):
@@ -274,6 +389,49 @@ class OrthoCameraIntrinsics(_IntrBase):
         u = x_cam[..., 0] * self.sx + self.cx
         v = x_cam[..., 1] * self.sy + self.cy
         return jnp.stack([u, v], -1), x_cam[..., 2]
+
+
+# ----------------------------------------------------------- attr utilities
+# The reference's AttrNested framework (attr.py:38-247) gives every
+# attribute slicing / stacking / interp over arbitrary batch prefixes via
+# per-class bookkeeping. Attributes here are flax.struct pytrees, so the
+# same operations are four generic tree functions working on ANY attr —
+# including nested containers (dicts/tuples of attrs).
+
+def attr_index(attr, idx):
+    """attr[idx] over the leading batch axis (reference Attr.__getitem__)."""
+    return jax.tree_util.tree_map(lambda leaf: leaf[idx], attr)
+
+
+def attr_stack(attrs, axis: int = 0):
+    """Stack same-type attrs along a new batch axis (reference Attr.stack)."""
+    return jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves, axis), *attrs)
+
+
+def attr_concat(attrs, axis: int = 0):
+    """Concatenate along an existing batch axis (reference Attr.concat)."""
+    return jax.tree_util.tree_map(
+        lambda *leaves: jnp.concatenate(leaves, axis), *attrs)
+
+
+def attr_interp1d(a, b, alpha):
+    """Interpolate between two same-type attrs (reference Attr.interp1d):
+    classes defining their own `interp1d` (slerp-based rotations/transforms)
+    use it; everything else lerps leaf-wise. Nested containers recurse."""
+    if hasattr(a, "interp1d"):
+        return a.interp1d(b, alpha)
+    if isinstance(a, dict):
+        return {k: attr_interp1d(a[k], b[k], alpha) for k in a}
+    if isinstance(a, (list, tuple)):
+        return type(a)(attr_interp1d(x, y, alpha) for x, y in zip(a, b))
+    if isinstance(a, (jax.Array, jnp.ndarray)) or not hasattr(a, "__dict__"):
+        return a * (1 - alpha) + b * alpha
+    # struct.dataclass without custom interp1d: recurse field-wise
+    fields = {k: attr_interp1d(getattr(a, k), getattr(b, k), alpha)
+              for k, leaf in vars(a).items()
+              if isinstance(leaf, (jax.Array, jnp.ndarray))}
+    return a.replace(**fields)
 
 
 # ------------------------------------------------------------------ segment
