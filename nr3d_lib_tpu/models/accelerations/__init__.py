@@ -6,7 +6,8 @@ Reference: nr3d_lib/models/accelerations/__init__.py:46-86 (get_accel registry).
 from nr3d_lib_tpu.models.accelerations.occgrid import OccGridEma, OccGridGetter  # noqa: F401
 from nr3d_lib_tpu.models.accelerations.occgrid_accel import OccGridAccel  # noqa: F401
 from nr3d_lib_tpu.models.accelerations.occgrid_batched import (  # noqa: F401
-    OccGridAccelBatched, OccGridAccelDynamic, OccGridAccelStaticAndDynamic)
+    OccGridAccelBatched, OccGridAccelBatchedDynamic, OccGridAccelDynamic,
+    OccGridAccelStaticAndDynamic)
 from nr3d_lib_tpu.models.accelerations.occgrid_forest import (  # noqa: F401
     OccGridAccelForest)
 
@@ -18,6 +19,8 @@ def get_accel(type: str = "occ_grid", **kwargs):
         return OccGridAccel(use_ema=("getter" not in t), **kwargs)
     if t in ("occ_grid_batched", "occ_grid_batched_ema"):
         return OccGridAccelBatched(**kwargs)
+    if t in ("occ_grid_batched_dynamic",):
+        return OccGridAccelBatchedDynamic(**kwargs)
     if t in ("occ_grid_dynamic",):
         return OccGridAccelDynamic(**kwargs)
     if t in ("occ_grid_static_and_dynamic",):

@@ -18,7 +18,7 @@ from flax import nnx
 from nr3d_lib_tpu.models.accelerations.occgrid import sample_cells_uniform
 
 __all__ = ["OccGridEmaBatched", "OccGridAccelBatched", "OccGridAccelDynamic",
-           "OccGridAccelStaticAndDynamic"]
+           "OccGridAccelBatchedDynamic", "OccGridAccelStaticAndDynamic"]
 
 Array = jax.Array
 
@@ -150,3 +150,63 @@ class OccGridAccelStaticAndDynamic(nnx.Module):
     def load_state_dict(self, sd):
         self.static.load_state_dict(sd["static"])
         self.dynamic.load_state_dict(sd["dynamic"])
+
+
+class OccGridAccelBatchedDynamic(nnx.Module):
+    """Instances × time keys occupancy (reference:
+    occgrid_accel/batched_dynamic.py:374 OccGridAccelBatchedDynamic_Ema):
+    grid slot (b, k) = instance b at keyframe k; flattened into one
+    [B·K, res] EMA-batched grid so updates stay one vectorized pass."""
+
+    def __init__(self, n_batch: int, n_time_keys: int, *,
+                 resolution=(32, 32, 32), occ_thre: float = 0.01,
+                 ema_decay: float = 0.95, update_every: int = 16,
+                 step_size: float = 0.01, max_steps_per_ray: int = 256,
+                 ts_keyframes=None, **_):
+        self.n_batch = int(n_batch)
+        self.n_time_keys = int(n_time_keys)
+        self.occ = OccGridEmaBatched(n_batch * n_time_keys, resolution,
+                                     occ_thre, ema_decay)
+        ts = jnp.asarray(ts_keyframes if ts_keyframes is not None
+                         else jnp.linspace(-1, 1, n_time_keys))
+        self.ts_keyframes = nnx.Variable(ts)
+        self.update_every = int(update_every)
+        self.step_size = float(step_size)
+        self.max_steps_per_ray = int(max_steps_per_ray)
+
+    def time_to_key(self, ts: Array) -> Array:
+        keys = self.ts_keyframes[...]
+        return jnp.argmin(jnp.abs(ts[..., None] - keys[None]), axis=-1)
+
+    def slot(self, bidx: Array, ts: Array) -> Array:
+        return jnp.maximum(bidx, 0) * self.n_time_keys + self.time_to_key(ts)
+
+    def step(self, it: int, key, query_fn):
+        """query_fn(x [B·K, n, 3], bidx [B·K, n], ts [B·K, n]) → vals."""
+        if it % self.update_every == 0:
+            def fn(x, slot_idx):
+                bidx = slot_idx // self.n_time_keys
+                ts = self.ts_keyframes[...][slot_idx % self.n_time_keys]
+                return query_fn(x, bidx, ts)
+
+            self.occ.step_update(key, fn)
+
+    def collect_samples(self, bidx: Array, ts: Array, x: Array, vals: Array):
+        self.occ.collect_samples(self.slot(bidx, ts), x, vals)
+
+    def ray_march(self, bidx: Array, ts: Array, rays_o: Array, rays_d: Array,
+                  near: Array, far: Array, perturb_key=None):
+        from nr3d_lib_tpu.graphics.raymarch import occgrid_raymarch_batched
+
+        return occgrid_raymarch_batched(
+            self.occ.occ(), self.slot(bidx, ts), rays_o, rays_d, near, far,
+            n_steps=self.max_steps_per_ray, step_size=self.step_size,
+            perturb_key=perturb_key)
+
+    def state_dict(self):
+        return {"occ": self.occ.state_dict(),
+                "ts_keyframes": self.ts_keyframes[...]}
+
+    def load_state_dict(self, sd):
+        self.occ.load_state_dict(sd["occ"])
+        self.ts_keyframes[...] = jnp.asarray(sd["ts_keyframes"])

@@ -17,7 +17,7 @@ from flax import nnx
 
 from nr3d_lib_tpu.graphics.raytest import ray_box_intersection
 
-__all__ = ["BatchedBlockSpace"]
+__all__ = ["BatchedBlockSpace", "BatchedDynamicSpace"]
 
 Array = jax.Array
 
@@ -70,3 +70,60 @@ class BatchedBlockSpace(nnx.Module):
 
     def load_state_dict(self, sd):
         self.aabb[...] = jnp.asarray(sd["aabb"])
+
+
+class BatchedDynamicSpace(BatchedBlockSpace):
+    """Per-instance AABB + per-instance time range (reference:
+    spatial/batched_dynamic.py:22-116 BatchedDynamicSpace /
+    BatchedDynamicSpaceNormalizeTs): each instance carries its own
+    [ts_start, ts_stop] and normalizes timestamps to [-1, 1] — the space
+    for categorical+dynamic scenes (e.g. per-sequence actors)."""
+
+    def __init__(self, aabb=None, *, ts_range=None,
+                 n_batch: Optional[int] = None, dtype=jnp.float32):
+        super().__init__(aabb, n_batch=n_batch, dtype=dtype)
+        if ts_range is None:
+            ts_range = jnp.tile(jnp.asarray([[-1.0, 1.0]], dtype),
+                                (self.n_batch, 1))
+        self.ts_range = nnx.Variable(jnp.asarray(ts_range, dtype))
+
+    @staticmethod
+    def normalize_all_ts_keyframes(all_ts):
+        """Per-instance keyframe lists → (ts_range [B,2], normalized [B,K])
+        (reference: batched_dynamic.py:99)."""
+        rng = jnp.stack([jnp.min(all_ts, -1), jnp.max(all_ts, -1)], -1)
+        mid = (rng[:, 0:1] + rng[:, 1:2]) * 0.5
+        half = jnp.maximum((rng[:, 1:2] - rng[:, 0:1]) * 0.5, 1e-8)
+        return rng, (all_ts - mid) / half
+
+    def normalize_ts(self, ts: Array, bidx: Array) -> Array:
+        r = self.ts_range[...][jnp.maximum(bidx, 0)]
+        mid = (r[..., 0] + r[..., 1]) * 0.5
+        half = jnp.maximum((r[..., 1] - r[..., 0]) * 0.5, 1e-8)
+        return (ts - mid) / half
+
+    def unnormalize_ts(self, ts: Array, bidx: Array) -> Array:
+        r = self.ts_range[...][jnp.maximum(bidx, 0)]
+        mid = (r[..., 0] + r[..., 1]) * 0.5
+        half = (r[..., 1] - r[..., 0]) * 0.5
+        return ts * half + mid
+
+    def sample_pts_uniform(self, key, n_per_batch: int
+                           ) -> Tuple[Array, Array, Array]:
+        """→ (x_normalized [B,n,3], bidx [B,n], ts_normalized [B,n])
+        (reference: cur_batch__sample_pts_uniform)."""
+        kx, kt = jax.random.split(key)
+        b = self.n_batch
+        x = jax.random.uniform(kx, (b, n_per_batch, 3), minval=-1.0,
+                               maxval=1.0)
+        ts = jax.random.uniform(kt, (b, n_per_batch), minval=-1.0,
+                                maxval=1.0)
+        bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n_per_batch))
+        return x, bidx, ts
+
+    def state_dict(self):
+        return {"aabb": self.aabb[...], "ts_range": self.ts_range[...]}
+
+    def load_state_dict(self, sd):
+        self.aabb[...] = jnp.asarray(sd["aabb"])
+        self.ts_range[...] = jnp.asarray(sd["ts_range"])
