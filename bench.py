@@ -14,7 +14,8 @@ reports four workloads:
                   gather-issue-bound: v5e has no gather hardware, ceiling
                   ≈ 0.94G rows/s scalar-issue → ≈ 0.117 GS/s at 8 levels)
   fwd_ray       — 3.6M ray-ordered samples (the actual rendering workload;
-                  group-uniform dedup amortizes coarse-level gathers)
+                  same kernel — control-flow coherence variants measured
+                  slower, see docs/DESIGN.md §3)
   fwdbwd_random / fwdbwd_ray — value_and_grad wrt (params, x): the training
                   step's encode cost (Pallas backward — VERDICT #1d)
 

@@ -216,22 +216,14 @@ def materialize_dense_brick_table(vertex_params: Array, level: BrickLevel
 #     (lane = level·16 + corner·2 + feat);
 #   * final per-level reductions are ONE MXU matmul [tile,128]@[128,2L]
 #     instead of masked VPU reduction chains;
-#   * group-predicated gathers: points arrive in ray/Morton order, so a group
-#     of G consecutive samples usually shares its brick at coarse levels —
-#     a per-(group,level) uniformity flag (precomputed vectorized in XLA)
-#     turns G loads into 1 load + broadcast stores;
 #   * a Pallas backward (scatter-accumulate dL/dtable + fused dL/dx matmul)
 #     so training runs the fast path end to end (round-1 fell back to the
 #     XLA formulation for every backward).
 
-_GROUP = 16          # samples per uniformity group (2 f32 vregs)
-
-
-def _prologue(x: Array, meta: BrickMeta, dtype):
+def _prologue(x: Array, meta: BrickMeta, dtype, tile: int = 2048):
     """Per-level indexing arrays for the kernels.
 
-    Returns rows [L,N] i32, uni [L,N/G] i32, lane_c [N,L] i32,
-    frac_c [N,3L] dtype."""
+    Returns rows [L,N] i32, lane_c [N,L] i32, frac_c [N,3L] dtype."""
     rows, lanes, fracs = [], [], []
     for level in meta.levels:
         r, l0, fr = _level_rows_and_lanes(x, level)
@@ -240,11 +232,9 @@ def _prologue(x: Array, meta: BrickMeta, dtype):
         fracs.append(fr)
     row_arr = jnp.stack(rows)                                    # [L, N]
     n = x.shape[0]
-    rg = row_arr.reshape(meta.n_levels, n // _GROUP, _GROUP)
-    uni = (rg.min(-1) == rg.max(-1)).astype(jnp.int32)           # [L, N/G]
     lane_c = jnp.stack(lanes, axis=-1)                           # [N, L]
     frac_c = jnp.stack(fracs, axis=1).reshape(n, 3 * meta.n_levels)
-    return row_arr, uni, lane_c.astype(jnp.int32), frac_c.astype(dtype)
+    return row_arr, lane_c.astype(jnp.int32), frac_c.astype(dtype)
 
 
 def _reduce_matrix(n_levels: int) -> np.ndarray:
@@ -269,60 +259,31 @@ def _dx_matrix(meta: BrickMeta) -> np.ndarray:
     return m
 
 
-def _gather_phase(meta, tile, rows_ref, uni_ref, table_ref, scratch_ref,
-                  coherent: bool):
-    """Gathers into scratch[l·tile + n, :].
-
-    coherent=False: plain unrolled per-point loads (best for random points —
-    measured 0.66 G rows/s issue rate, memory: tpu-env-pitfalls).
-    coherent=True: group-predicated loads — one load + broadcast stores when
-    all G consecutive samples share the brick (ray-ordered streams). The
-    level loop is python-unrolled and group addressing strength-reduced:
-    a probed naive div/mod-per-iteration variant burned ~18 cyc/group and
-    erased the dedup win (experiments/probe_slim.py pred).
+def _gather_phase(meta, tile, rows_ref, table_ref, scratch_ref):
+    """Gathers into scratch[l·tile + n, :] with a fully-unrolled scalar
+    loop — measured 1.76 cyc/row (point-outer ×64 unroll; level-outer was
+    2.93). Coherence-exploiting variants were built and measured SLOWER:
+    a lax.cond per sample-group cost 42 cyc/pt and phase-partitioned
+    dynamic-length loops 57 cyc/pt vs 24 cyc/pt for this loop — dynamic
+    trip counts cannot unroll, so each iteration serializes at ~15 scalar
+    cycles while the unrolled loop pipelines at ~1.8. On this hardware
+    uniform unrolled work beats clever control flow (docs/DESIGN.md §3).
     """
     from jax.experimental import pallas as pl
 
     L = meta.n_levels
-    G = _GROUP
-    n_groups = tile // G
+    INNER = 64
 
-    if not coherent:
-        INNER = 32
+    def gather_body(i, _):
+        base = i * INNER
+        for k in range(INNER):
+            n = base + k
+            for l in range(L):
+                scratch_ref[pl.ds(l * tile + n, 1), :] = \
+                    table_ref[pl.ds(rows_ref[l, n], 1), :]
+        return 0
 
-        def gather_body(i, _):
-            base = i * INNER
-            for k in range(INNER):
-                n = base + k
-                for l in range(L):
-                    scratch_ref[pl.ds(l * tile + n, 1), :] = \
-                        table_ref[pl.ds(rows_ref[l, n], 1), :]
-            return 0
-
-        jax.lax.fori_loop(0, tile // INNER, gather_body, 0)
-        return
-
-    for l in range(L):
-        def body(gidx, _, l=l):
-            base = gidx * G
-
-            def uniform(_):
-                row = table_ref[pl.ds(rows_ref[l, base], 1), :]
-                b = jnp.broadcast_to(row, (8, LANES))
-                for h in range(G // 8):
-                    scratch_ref[pl.ds(l * tile + base + 8 * h, 8), :] = b
-                return 0
-
-            def mixed(_):
-                for k in range(G):
-                    scratch_ref[pl.ds(l * tile + base + k, 1), :] = \
-                        table_ref[pl.ds(rows_ref[l, base + k], 1), :]
-                return 0
-
-            jax.lax.cond(uni_ref[l, gidx] > 0, uniform, mixed, 0)
-            return 0
-
-        jax.lax.fori_loop(0, n_groups, body, 0)
+    jax.lax.fori_loop(0, tile // INNER, gather_body, 0)
 
 
 def _packed_lanes(meta, tile, lane_ref, frac_ref, scratch_ref):
@@ -369,11 +330,10 @@ def _packed_lanes(meta, tile, lane_ref, frac_ref, scratch_ref):
     return g, w, s
 
 
-def _fwd_kernel_v2(meta: BrickMeta, tile: int, coherent: bool,
-                   rows_ref, uni_ref, lane_ref, frac_ref, table_ref, m_ref,
+def _fwd_kernel_v2(meta: BrickMeta, tile: int,
+                   rows_ref, lane_ref, frac_ref, table_ref, m_ref,
                    out_ref, scratch_ref):
-    _gather_phase(meta, tile, rows_ref, uni_ref, table_ref, scratch_ref,
-                  coherent)
+    _gather_phase(meta, tile, rows_ref, table_ref, scratch_ref)
     g, w, _ = _packed_lanes(meta, tile, lane_ref, frac_ref, scratch_ref)
     prod = g * w
     out_ref[:, :] = jnp.dot(prod, m_ref[:],
@@ -381,8 +341,8 @@ def _fwd_kernel_v2(meta: BrickMeta, tile: int, coherent: bool,
                             ).astype(out_ref.dtype)
 
 
-def _bwd_kernel_v2(meta: BrickMeta, tile: int, coherent: bool,
-                   rows_ref, uni_ref, lane_ref, frac_ref, table_ref, m_ref,
+def _bwd_kernel_v2(meta: BrickMeta, tile: int,
+                   rows_ref, lane_ref, frac_ref, table_ref, m_ref,
                    gup_ref, dtab_ref, dx_ref, scratch_ref):
     """Backward: dL/dtable scatter-accumulate + dL/dx fused MXU reduction.
 
@@ -395,8 +355,7 @@ def _bwd_kernel_v2(meta: BrickMeta, tile: int, coherent: bool,
     def _():
         dtab_ref[:, :] = jnp.zeros_like(dtab_ref)
 
-    _gather_phase(meta, tile, rows_ref, uni_ref, table_ref, scratch_ref,
-                  coherent)
+    _gather_phase(meta, tile, rows_ref, table_ref, scratch_ref)
     g, w, s = _packed_lanes(meta, tile, lane_ref, frac_ref, scratch_ref)
 
     L = meta.n_levels
@@ -419,10 +378,8 @@ def _bwd_kernel_v2(meta: BrickMeta, tile: int, coherent: bool,
                                    axis=-1).astype(dx_ref.dtype)
 
     # ---- dL/dtable: contribution per lane = gb·w, lane-scattered back to
-    # the brick-row layout, then row scatter-add (group-uniform fast path).
+    # the brick-row layout, then per-row scatter-add.
     contrib = gb * w                                             # [tile,128]
-    G = _GROUP
-    n_groups = tile // G
     for l in range(L):
         # inverse lane map: target lane m holds corner q iff d = m − lane0
         # matches the off() bit pattern (d = 32dx + 8dy + 2dz + f)
@@ -443,44 +400,19 @@ def _bwd_kernel_v2(meta: BrickMeta, tile: int, coherent: bool,
         # reuse gather scratch as the scatter staging slab
         scratch_ref[pl.ds(l * tile, tile), :] = slab
 
-    if not coherent:
-        INNER = 16
+    INNER = 16
 
-        def scatter_body(i, _):
-            base = i * INNER
-            for kk in range(INNER):
-                n = base + kk
-                for l in range(L):
-                    r = rows_ref[l, n]
-                    dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
-                        scratch_ref[pl.ds(l * tile + n, 1), :]
-            return 0
+    def scatter_body(i, _):
+        base = i * INNER
+        for kk in range(INNER):
+            n = base + kk
+            for l in range(L):
+                r = rows_ref[l, n]
+                dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
+                    scratch_ref[pl.ds(l * tile + n, 1), :]
+        return 0
 
-        jax.lax.fori_loop(0, tile // INNER, scatter_body, 0)
-        return
-
-    for l in range(L):
-        def scatter_body(gidx, _, l=l):
-            base = gidx * G
-
-            def uniform(_):
-                acc = jnp.sum(scratch_ref[pl.ds(l * tile + base, G), :],
-                              axis=0, keepdims=True)
-                r = rows_ref[l, base]
-                dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + acc
-                return 0
-
-            def mixed(_):
-                for kk in range(G):
-                    r = rows_ref[l, base + kk]
-                    dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
-                        scratch_ref[pl.ds(l * tile + base + kk, 1), :]
-                return 0
-
-            jax.lax.cond(uni_ref[l, gidx] > 0, uniform, mixed, 0)
-            return 0
-
-        jax.lax.fori_loop(0, n_groups, scatter_body, 0)
+    jax.lax.fori_loop(0, tile // INNER, scatter_body, 0)
 
 
 _MAX_CHUNK = 1 << 19  # Mosaic crashes on very large per-call shapes
@@ -517,17 +449,15 @@ def _brick_encode_pallas_impl(x: Array, table: Array, meta: BrickMeta,
     x, n = _pad_points(x, tile)
     n_pad = x.shape[0]
     L = meta.n_levels
-    rows, uni, lane_c, frac_c = _prologue(x, meta, table.dtype)
+    rows, lane_c, frac_c = _prologue(x, meta, table.dtype, tile)
     m_red = jnp.asarray(_reduce_matrix(L), table.dtype)
 
-    kernel = functools.partial(_fwd_kernel_v2, meta, tile, coherent)
+    kernel = functools.partial(_fwd_kernel_v2, meta, tile)
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
         in_specs=[
             pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.SMEM),
-            pl.BlockSpec((L, tile // _GROUP), lambda i: (0, i),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, L), lambda i: (i, 0)),
             pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -539,7 +469,7 @@ def _brick_encode_pallas_impl(x: Array, table: Array, meta: BrickMeta,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(rows, uni, lane_c, frac_c, table, m_red)
+    )(rows, lane_c, frac_c, table, m_red)
     return out[:n]
 
 
@@ -577,17 +507,15 @@ def _brick_bwd_pallas_impl(x: Array, table: Array, g_up: Array,
     if g_up.shape[0] != n_pad:
         g_up = jnp.pad(g_up, ((0, n_pad - g_up.shape[0]), (0, 0)))
     L = meta.n_levels
-    rows, uni, lane_c, frac_c = _prologue(x, meta, table.dtype)
+    rows, lane_c, frac_c = _prologue(x, meta, table.dtype, tile)
     m_dx = jnp.asarray(_dx_matrix(meta), table.dtype)
 
-    kernel = functools.partial(_bwd_kernel_v2, meta, tile, coherent)
+    kernel = functools.partial(_bwd_kernel_v2, meta, tile)
     dtab, dx = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
         in_specs=[
             pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.SMEM),
-            pl.BlockSpec((L, tile // _GROUP), lambda i: (0, i),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, L), lambda i: (i, 0)),
             pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -607,7 +535,7 @@ def _brick_bwd_pallas_impl(x: Array, table: Array, g_up: Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(rows, uni, lane_c, frac_c, table, m_dx, g_up)
+    )(rows, lane_c, frac_c, table, m_dx, g_up)
     # x is in [0,1] but frac derivative is per-unit-x already folded (res−2)
     return dx[:n], dtab
 
@@ -620,7 +548,12 @@ def brick_encode(x: Array, table: Array, meta: BrickMeta,
 
     Forward AND first-order backward run the fused Pallas kernels on TPU
     (VERDICT round-1 #1d); off-TPU (and for higher-order autodiff — see
-    `brick_encode_ho`) the XLA reference formulation is used."""
+    `brick_encode_ho`) the XLA reference formulation is used.
+
+    `coherent` is accepted for API stability but IGNORED: two
+    coherence-exploiting gather variants (cond-per-group, phase-partitioned
+    dynamic loops) both measured slower than the unrolled uniform loop —
+    see `_gather_phase` and docs/DESIGN.md §3."""
     if use_pallas and jax.default_backend() == "tpu":
         return _brick_encode_pallas(x, table, meta, coherent=coherent)
     return brick_encode_xla(x, table, meta)
