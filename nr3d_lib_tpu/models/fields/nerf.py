@@ -96,6 +96,47 @@ class MlpNeRF(nnx.Module):
         return out
 
 
+class PermutoNeRF(nnx.Module):
+    """Permutohedral-encoded NeRF (reference: fields/nerf/permuto_nerf.py):
+    the permuto counterpart of LoTDNeRF — same decoder/radiance heads."""
+
+    def __init__(self, *, permuto_cfg: Optional[dict] = None,
+                 density_decoder_cfg: Optional[dict] = None,
+                 radiance_cfg: Optional[dict] = None,
+                 n_geo_feat: int = 15, seed: int = 0):
+        from nr3d_lib_tpu.ops import permuto as _permuto
+
+        cfg = dict(permuto_cfg or {})
+        cfg.setdefault("res_list", [8.0, 16.0, 32.0, 64.0, 128.0])
+        cfg.setdefault("n_feats", 2)
+        cfg.setdefault("log2_hashmap_size", 17)
+        self.meta = _permuto.make_permuto_meta(
+            3, cfg["res_list"], cfg["n_feats"], cfg["log2_hashmap_size"])
+        self.flattened_params = nnx.Param(
+            jax.random.uniform(jax.random.key(seed), (self.meta.n_params,),
+                               jnp.float32, -1e-4, 1e-4))
+        dec_cfg = dict(density_decoder_cfg or {})
+        dec_cfg.setdefault("D", 1)
+        dec_cfg.setdefault("W", 64)
+        self.decoder = MLP(self.meta.out_features, 1 + n_geo_feat,
+                           **dec_cfg, seed=seed + 1)
+        self.radiance = RadianceNet(n_extra_feat=n_geo_feat,
+                                    **(radiance_cfg or {}), seed=seed + 2)
+        self.n_geo_feat = n_geo_feat
+
+    def forward_density(self, x: Array) -> Dict[str, Array]:
+        from nr3d_lib_tpu.ops import permuto as _permuto
+
+        h = self.decoder(_permuto.permuto_encode(
+            x * 0.5 + 0.5, self.flattened_params[...], self.meta))
+        return {"sigma": trunc_exp(h[..., 0]), "h": h[..., 1:]}
+
+    def __call__(self, x: Array, v: Optional[Array] = None) -> Dict[str, Array]:
+        out = self.forward_density(x)
+        out["rgb"] = self.radiance(x, v, None, out["h"])
+        return out
+
+
 class LoTDNeRF(nnx.Module):
     """LoTD-encoded NeRF (reference: lotd_nerf.py LoTDNeRF): hash/dense grid
     encoding → small density decoder → radiance head."""

@@ -16,7 +16,8 @@ from nr3d_lib_tpu.models.annealers import get_annealer
 from nr3d_lib_tpu.models.fields.nerf import RadianceNet
 from nr3d_lib_tpu.models.fields.sdf import LoTDSDF, MlpSDF
 
-__all__ = ["LearnedVar", "ScheduledVar", "get_neus_var_ctrl", "LoTDNeuS", "MlpNeuS"]
+__all__ = ["LearnedVar", "ScheduledVar", "get_neus_var_ctrl", "LoTDNeuS",
+           "PermutoNeuS", "MlpNeuS"]
 
 Array = jax.Array
 
@@ -101,6 +102,23 @@ class LoTDNeuS(_NeuSBase):
                  radiance_cfg: Optional[dict] = None,
                  var_ctrl_cfg: Optional[dict] = None, seed: int = 0):
         self.implicit_surface = LoTDSDF(**(surface_cfg or {}), seed=seed)
+        self.radiance = RadianceNet(
+            n_extra_feat=self.implicit_surface.n_geo_feat,
+            use_nablas=True, use_pos=True,
+            **(radiance_cfg or {}), seed=seed + 1)
+        self.var_ctrl = get_neus_var_ctrl(**(var_ctrl_cfg or {"type": "learned"}))
+
+
+class PermutoNeuS(_NeuSBase):
+    """Permuto-encoded NeuS (reference: fields/neus/permuto_neus.py
+    PermutoNeuS — the PermutoSDF paper's configuration)."""
+
+    def __init__(self, *, surface_cfg: Optional[dict] = None,
+                 radiance_cfg: Optional[dict] = None,
+                 var_ctrl_cfg: Optional[dict] = None, seed: int = 0):
+        from nr3d_lib_tpu.models.fields.sdf import PermutoSDF
+
+        self.implicit_surface = PermutoSDF(**(surface_cfg or {}), seed=seed)
         self.radiance = RadianceNet(
             n_extra_feat=self.implicit_surface.n_geo_feat,
             use_nablas=True, use_pos=True,

@@ -81,6 +81,52 @@ class LoTDSDF(nnx.Module):
         return self.forward_sdf(x)["sdf"]
 
 
+class PermutoSDF(nnx.Module):
+    """Static permutohedral-encoded SDF (reference: fields/sdf/
+    permuto_sdf.py PermutoSDF): permuto lattice features + small decoder,
+    optional sphere geometric-init residual."""
+
+    def __init__(self, *, permuto_cfg: Optional[dict] = None,
+                 decoder_cfg: Optional[dict] = None,
+                 n_geo_feat: int = 15, radius_init: float = 0.0,
+                 seed: int = 0):
+        from nr3d_lib_tpu.ops import permuto as _permuto
+
+        cfg = dict(permuto_cfg or {})
+        cfg.setdefault("res_list", [8.0, 16.0, 32.0, 64.0, 128.0])
+        cfg.setdefault("n_feats", 2)
+        cfg.setdefault("log2_hashmap_size", 17)
+        self.meta = _permuto.make_permuto_meta(
+            3, cfg["res_list"], cfg["n_feats"], cfg["log2_hashmap_size"])
+        self.flattened_params = nnx.Param(
+            jax.random.uniform(jax.random.key(seed), (self.meta.n_params,),
+                               jnp.float32, -1e-4, 1e-4))
+        dec_cfg = dict(decoder_cfg or {})
+        dec_cfg.setdefault("D", 1)
+        dec_cfg.setdefault("W", 64)
+        self.decoder = MLP(self.meta.out_features + 3, 1 + n_geo_feat,
+                           **dec_cfg, seed=seed + 1)
+        self.n_geo_feat = n_geo_feat
+        self.radius_init = float(radius_init)
+
+    def _sdf_h(self, x: Array, ho: bool = False) -> Array:
+        from nr3d_lib_tpu.ops import permuto as _permuto
+
+        h = _permuto.permuto_encode(x * 0.5 + 0.5,
+                                    self.flattened_params[...], self.meta)
+        out = self.decoder(jnp.concatenate([x, h], -1))
+        if self.radius_init > 0:
+            out = out.at[..., 0].add(jnp.linalg.norm(x, axis=-1)
+                                     - self.radius_init)
+        return out
+
+    forward_sdf = LoTDSDF.forward_sdf
+    forward_sdf_nablas = LoTDSDF.forward_sdf_nablas
+
+    def __call__(self, x: Array) -> Array:
+        return self._sdf_h(x)[..., 0]
+
+
 class MlpSDF(nnx.Module):
     """Geometric-init MLP SDF (reference: mlp_sdf.py): freq-embedded input,
     skip connection, softplus(β=100), sphere init."""

@@ -178,3 +178,49 @@ def test_nerf_distant(rng):
     t = np.asarray(vb["t"])
     assert (np.diff(t, axis=-1) >= -1e-5).all(), "samples must march outward"
     assert (t >= 0.999).all()
+
+
+def test_permuto_static_field_family():
+    """Static permuto variants (reference: fields/sdf/permuto_sdf.py,
+    fields/nerf/permuto_nerf.py, fields/neus/permuto_neus.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    from nr3d_lib_tpu.models.fields import PermutoNeRF, PermutoNeuS, PermutoSDF
+
+    x = jax.random.uniform(jax.random.key(0), (16, 3), minval=-1, maxval=1)
+    v = jax.random.normal(jax.random.key(1), (16, 3))
+    pcfg = {"res_list": [4.0, 8.0], "log2_hashmap_size": 10}
+
+    f = PermutoNeRF(permuto_cfg=pcfg, density_decoder_cfg={"D": 1, "W": 16},
+                    radiance_cfg={"D": 1, "W": 16})
+    o = f(x, v)
+    assert o["rgb"].shape == (16, 3)
+    assert np.isfinite(np.asarray(o["sigma"])).all()
+
+    s = PermutoSDF(permuto_cfg=pcfg, decoder_cfg={"D": 1, "W": 16},
+                   radius_init=0.5)
+    out = s.forward_sdf_nablas(x)
+    assert np.isfinite(np.asarray(out["nablas"])).all()
+    # sphere residual: sdf sign flips across the radius on-axis
+    probe = jnp.asarray([[0.1, 0, 0], [0.9, 0, 0]])
+    sd = np.asarray(s.forward_sdf(probe)["sdf"])
+    assert sd[0] < 0 < sd[1]
+
+    m = PermutoNeuS(surface_cfg={"permuto_cfg": pcfg,
+                                 "decoder_cfg": {"D": 1, "W": 16},
+                                 "radius_init": 0.5},
+                    radiance_cfg={"D": 1, "W": 16})
+    graphdef, params, rest = nnx.split(m, nnx.Param, ...)
+
+    def loss(p):
+        mm = nnx.merge(graphdef, p, rest)
+        o = mm.implicit_surface.forward_sdf_nablas(x)
+        return jnp.mean((jnp.linalg.norm(o["nablas"], axis=-1) - 1.0) ** 2)
+
+    g = jax.grad(loss)(params)   # eikonal → 2nd-order autodiff
+    gn = float(jnp.sqrt(sum(jnp.sum(l ** 2)
+                            for l in jax.tree_util.tree_leaves(g))))
+    assert np.isfinite(gn) and gn > 0
