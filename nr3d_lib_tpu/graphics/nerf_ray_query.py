@@ -71,6 +71,7 @@ def nerf_ray_query_march_occ(model, accel, space, ray_tested: Dict, *,
 def nerf_ray_query_march_occ_compressed(
         model, accel, space, ray_tested: Dict, *,
         compression_factor: float = 0.25, early_stop_eps: float = 1e-4,
+        radiance_compression_factor: float = 0.5,
         perturb_key=None, with_rgb: bool = True
         ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """Occupancy-marched NeRF query with TWO compactions on the hot path
@@ -80,11 +81,14 @@ def nerf_ray_query_march_occ_compressed(
       1. compact the marched slab on the occupancy mask BEFORE the density
          query — the encode+MLP only touch occupied samples (the dense-slab
          march evaluates every [R,S] slot, occupied or not);
-      2. compact again on accumulated transmittance (early termination)
-         before the radiance query.
+      2. compact again on accumulated transmittance (early termination,
+         `radiance_compression_factor` of the first budget) before the
+         radiance query.
 
-    A per-ray sample budget bounds saturation so a full buffer drops each
-    ray's own tail rather than whole rays (see neus_ray_query_variants.py).
+    Compaction is ROW-LOCAL (`pack_ops.budget_indices`: per-ray argsort +
+    lane gather) — a global sort/scatter compaction measured 6–7.5 ms per
+    786k samples on v5e and erased the savings; the row form is ≪1 ms.
+    Each ray drops its own tail beyond the budget rather than whole rays.
     """
     rays_o, rays_d = ray_tested["rays_o"], ray_tested["rays_d"]
     near, far, ray_mask = ray_tested["near"], ray_tested["far"], ray_tested["mask"]
@@ -93,45 +97,43 @@ def nerf_ray_query_march_occ_compressed(
     r, s = t.shape
     smask = smask & ray_mask[:, None]
 
-    # --- compaction 1: occupancy (budgeted)
-    capacity = max(int(r * s * compression_factor), r)
-    budget = max(capacity // r, 1)
-    rank = jnp.cumsum(smask.astype(jnp.int32), axis=-1) - 1
-    keep = smask & (rank < budget)
-    flat = jnp.stack([t, dt], axis=-1)                       # [R,S,2]
-    td_p, ridx = po.dense_to_packed(flat, keep, capacity)
-    t_p, dt_p = td_p[:, 0], td_p[:, 1]
-    vmask = ridx < r
-    sel = jnp.minimum(ridx, r - 1)
-    x_p = o_n[sel] + d_n[sel] * t_p[:, None]
+    # --- compaction 1: occupancy (per-ray budget)
+    b1 = max(int(s * compression_factor), 1)
+    (t1, dt1), valid1 = po.dense_to_budgeted([t, dt], smask, b1)
+    x1 = o_n[:, None, :] + d_n[:, None, :] * t1[..., None]    # [R,B1,3]
 
-    den = model.forward_density(x_p)
-    alpha_p = tau_to_alpha(den["sigma"] * dt_p)
-    alpha_p = jnp.where(vmask, alpha_p, 0.0)
+    den = model.forward_density(x1.reshape(r * b1, 3))
+    sigma = den["sigma"].reshape(r, b1)
+    alpha1 = jnp.where(valid1, tau_to_alpha(sigma * dt1), 0.0)
 
     # --- compaction 2: early termination before the radiance net
-    keep2, vw0 = po.packed_volume_render_compression(
-        alpha_p, ridx, r, early_stop_eps=early_stop_eps)
-    keep2 = keep2 & vmask & (alpha_p > 0)
-    cap2 = max(capacity // 2, r)
-    (t2, alpha2, h2), ridx2 = po.compactify(
-        keep2, [t_p, alpha_p, den["h"]], ridx, r, capacity=cap2)
-    vmask2 = ridx2 < r
-    sel2 = jnp.minimum(ridx2, r - 1)
-    x2 = o_n[sel2] + d_n[sel2] * t2[:, None]
+    trans = jnp.cumprod(jnp.concatenate(
+        [jnp.ones_like(alpha1[:, :1]), 1.0 - alpha1[:, :-1]], -1), -1)
+    keep2 = valid1 & (alpha1 > 0) & (trans > early_stop_eps)
+    b2 = max(int(b1 * radiance_compression_factor), 1)
+    (t2, alpha2, h2), valid2 = po.dense_to_budgeted(
+        [t1, alpha1, den["h"].reshape(r, b1, -1)], keep2, b2)
+    alpha2 = jnp.where(valid2, alpha2, 0.0)
 
-    vw = po.packed_alpha_to_vw(jnp.where(vmask2, alpha2, 0.0), ridx2)
-    acc = po.packed_sum(vw, ridx2, r)
-    depth = po.packed_sum(vw * t2, ridx2, r) / jnp.maximum(acc, 1e-10)
+    vw = ray_alpha_to_vw(alpha2)
+    acc = jnp.sum(vw, -1)
+    depth = jnp.sum(vw * t2, -1) / jnp.maximum(acc, 1e-10)
     rendered = {"mask_volume": jnp.where(ray_mask, acc, 0.0),
                 "depth_volume": jnp.where(ray_mask, depth, 0.0)}
     if with_rgb:
-        rgb = model.radiance(x2, rays_d[sel2], None, h2)
-        rgb_out = po.packed_sum(vw[:, None] * rgb, ridx2, r)
-        rendered["rgb_volume"] = jnp.where(ray_mask[:, None], rgb_out, 0.0)
-    volume_buffer = {"t_packed": t2, "ridx": ridx2, "alpha_packed": alpha2,
-                     "vw_packed": vw, "ray_mask": ray_mask,
-                     "n_compact": jnp.sum(vmask2)}
+        x2 = o_n[:, None, :] + d_n[:, None, :] * t2[..., None]
+        v2 = jnp.broadcast_to(rays_d[:, None, :], (r, b2, 3))
+        rgb = model.radiance(x2.reshape(r * b2, 3), v2.reshape(r * b2, 3),
+                             None, h2.reshape(r * b2, -1)).reshape(r, b2, 3)
+        rendered["rgb_volume"] = jnp.where(
+            ray_mask[:, None], jnp.sum(vw[..., None] * rgb, -2), 0.0)
+    # packed view for downstream pack_ops consumers
+    ridx2 = jnp.where(valid2, jnp.arange(r, dtype=jnp.int32)[:, None], r)
+    volume_buffer = {"t_packed": t2.reshape(-1), "ridx": ridx2.reshape(-1),
+                     "alpha_packed": alpha2.reshape(-1),
+                     "vw_packed": vw.reshape(-1), "ray_mask": ray_mask,
+                     "t": t2, "alpha": alpha2, "vw": vw, "valid": valid2,
+                     "n_compact": jnp.sum(valid2)}
     return rendered, volume_buffer
 
 

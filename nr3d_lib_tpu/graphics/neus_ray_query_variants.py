@@ -68,36 +68,43 @@ def neus_ray_query_march_occ_multi_upsample_compressed(
         axis=-1)
     keep = valid & (trans_excl > early_stop_eps) & (alpha > 0)
 
-    # compact to packed buffer of reduced capacity; enforce a per-ray budget
-    # so a saturated buffer can never silently drop whole far rays — the
-    # samples dropped are each ray's lowest-transmittance tail
-    capacity = max(int(r * s * compression_factor), r)
-    budget = max(capacity // r, 1)
-    rank = jnp.cumsum(keep.astype(jnp.int32), axis=-1) - 1
-    keep = keep & (rank < budget)
-    t_flat, ridx = po.dense_to_packed(t, keep, capacity)
-    sel = jnp.minimum(ridx, r - 1)
-    x_flat = o_n[sel] + d_n[sel] * t_flat[:, None]
-    vmask = ridx < r
+    # ROW-LOCAL budgeted compaction (pack_ops.budget_indices — global
+    # sort/scatter compaction measured 6-7.5 ms per 786k samples on v5e;
+    # the per-ray argsort+lane-gather form is ≪1 ms). The samples dropped
+    # beyond each ray's budget are its lowest-transmittance tail; a
+    # saturated buffer can never drop whole far rays.
+    b1 = max(int(s * compression_factor), 1)
+    (t_b,), valid_b = po.dense_to_budgeted([t], keep, b1)
+    x_b = o_n[:, None, :] + d_n[:, None, :] * t_b[..., None]   # [R,B,3]
+    v_b = jnp.broadcast_to(rays_d[:, None, :], (r, b1, 3))
 
-    out = model(x_flat, rays_d[sel], with_rgb=with_rgb, with_nablas=True)
-    sdf_p = jnp.where(vmask, out["sdf"], _BIG_SDF)
-    alpha_p = neus_packed_sdf_to_alpha(sdf_p, inv_s, ridx, append_cdf_1=True)
-    alpha_p = jnp.where(vmask, alpha_p, 0.0)
-    vw = po.packed_alpha_to_vw(alpha_p, ridx)
-    acc = po.packed_sum(vw, ridx, r)
-    depth = po.packed_sum(vw * t_flat, ridx, r) / jnp.maximum(acc, 1e-10)
+    out = model(x_b.reshape(r * b1, 3), v_b.reshape(r * b1, 3),
+                with_rgb=with_rgb, with_nablas=True)
+    sdf_b = jnp.where(valid_b, out["sdf"].reshape(r, b1), _BIG_SDF)
+    alpha_b = jnp.where(valid_b,
+                        neus_ray_sdf_to_alpha(sdf_b, inv_s,
+                                              append_cdf_1=True), 0.0)
+    vw = ray_alpha_to_vw(alpha_b)
+    acc = jnp.sum(vw, -1)
+    depth = jnp.sum(vw * t_b, -1) / jnp.maximum(acc, 1e-10)
     rendered = {"mask_volume": jnp.where(ray_mask, acc, 0.0),
                 "depth_volume": jnp.where(ray_mask, depth, 0.0)}
     if with_rgb:
-        rgb = po.packed_sum(vw[:, None] * out["rgb"], ridx, r)
-        rendered["rgb_volume"] = jnp.where(ray_mask[:, None], rgb, 0.0)
-    if out.get("nablas") is not None:
-        nrm = po.packed_sum(vw[:, None] * out["nablas"], ridx, r)
+        rgb = out["rgb"].reshape(r, b1, 3)
+        rendered["rgb_volume"] = jnp.where(
+            ray_mask[:, None], jnp.sum(vw[..., None] * rgb, -2), 0.0)
+    nablas = out.get("nablas")
+    if nablas is not None:
+        nrm = jnp.sum(vw[..., None] * nablas.reshape(r, b1, 3), -2)
         rendered["normals_volume"] = jnp.where(ray_mask[:, None], nrm, 0.0)
-    vb = {"t_packed": t_flat, "ridx": ridx, "alpha_packed": alpha_p,
-          "vw_packed": vw, "nablas_packed": out.get("nablas"),
-          "ray_mask": ray_mask, "n_compact": jnp.sum(vmask)}
+    ridx = jnp.where(valid_b, jnp.arange(r, dtype=jnp.int32)[:, None],
+                     r).reshape(-1)
+    vb = {"t_packed": t_b.reshape(-1), "ridx": ridx,
+          "alpha_packed": alpha_b.reshape(-1), "vw_packed": vw.reshape(-1),
+          "nablas_packed": nablas.reshape(-1, 3) if nablas is not None
+          else None,
+          "t": t_b, "alpha": alpha_b, "vw": vw, "valid": valid_b,
+          "ray_mask": ray_mask, "n_compact": jnp.sum(valid_b)}
     return rendered, vb
 
 

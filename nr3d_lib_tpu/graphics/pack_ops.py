@@ -35,6 +35,8 @@ __all__ = [
     "get_pack_infos_from_n",
     "get_pack_infos_from_batch",
     "mark_pack_boundaries",
+    "budget_indices",
+    "dense_to_budgeted",
     "counts_from_ridx",
     "ridx_from_counts",
     "offsets_from_counts",
@@ -445,6 +447,36 @@ def dense_to_packed(dense: Array, mask: Array, capacity: Optional[int] = None
     keep = mask.reshape(-1)
     (out,), new_ridx = compactify(keep, [flat], ridx, r_count, capacity=capacity)
     return out, new_ridx
+
+
+def budget_indices(mask: Array, budget: int) -> Tuple[Array, Array]:
+    """Per-row compaction indices: for each row, the positions of its first
+    `budget` True entries (in order), padded with trailing positions.
+
+    mask [R, S] → (idx [R, B] int32, valid [R, B] bool). The TPU-fast
+    compaction primitive: a per-row argsort + lane gather, fully vectorized
+    — measured 5.9–7.5 ms for a GLOBAL sort/scatter compaction of 786k
+    samples vs ≪1 ms for this row-local form. Use with `take_along_axis`
+    to budget-compact any per-sample array while keeping [R, B] shape
+    (order within a row is preserved)."""
+    r, s = mask.shape
+    j = jnp.arange(s, dtype=jnp.int32)
+    key = jnp.where(mask, j, s + j)        # kept first, both in order
+    idx = jnp.argsort(key, axis=-1)[:, :budget].astype(jnp.int32)
+    valid = jnp.take_along_axis(mask, idx, axis=1)
+    return idx, valid
+
+
+def dense_to_budgeted(arrays: Sequence[Array], mask: Array, budget: int
+                      ) -> Tuple[Tuple[Array, ...], Array]:
+    """Budget-compact several [R, S, ...] arrays row-locally → [R, B, ...]
+    (+ valid [R, B]). See `budget_indices`."""
+    idx, valid = budget_indices(mask, budget)
+    outs = []
+    for a in arrays:
+        ix = idx.reshape(idx.shape + (1,) * (a.ndim - 2))
+        outs.append(jnp.take_along_axis(a, ix, axis=1))
+    return tuple(outs), valid
 
 
 def merge_two_packs_sorted_aligned(valsA: Array, keyA: Array, ridxA: Array,

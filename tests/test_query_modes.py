@@ -30,6 +30,7 @@ def test_nerf_compressed_matches_uncompressed():
     m_plain = _nerf_model({"query_mode": "march_occ"})
     m_comp = _nerf_model({"query_mode": "march_occ_compressed",
                           "compression_factor": 1.0,
+                          "radiance_compression_factor": 1.0,
                           "early_stop_eps": 0.0})
     m_plain.populate()
     m_comp.populate()
