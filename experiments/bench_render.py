@@ -1,10 +1,12 @@
 """Secondary benchmark: end-to-end NeRF render throughput (rays/s) on TPU.
 
 Not the driver's headline metric (bench.py is) — run manually:
-    python experiments/bench_render.py [--brick]
+    python experiments/bench_render.py [--brick] [--mode march_occ|march_occ_compressed]
 
 Measures the full march→encode→MLP→composite forward on the real chip with
-the chained-timing harness (see memory: tpu-env-pitfalls).
+the chained-timing harness. All arrays are jit ARGUMENTS — closed-over
+device arrays become jaxpr constants and the axon compile path degenerates
+(memory: tpu-env-pitfalls).
 """
 
 import os
@@ -16,14 +18,15 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(use_brick: bool = False):
+def main(use_brick: bool = False, mode: str = "march_occ",
+         n_rays: int = 8192, compression_factor: float = 0.25):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from flax import nnx
 
-    from nr3d_lib_tpu.graphics.nerf_ray_query import nerf_ray_query_march_occ
     from nr3d_lib_tpu.models.model_base import LoTDNeRFModel
 
     enc_cfg = {"lotd_cfg": {
@@ -32,57 +35,70 @@ def main(use_brick: bool = False):
         "hashmap_size": 2 ** 17}}
     if use_brick:
         enc_cfg["backend"] = "brick"
+    qcfg = {"query_mode": mode}
+    if mode == "march_occ_compressed":
+        qcfg["compression_factor"] = compression_factor
     model = LoTDNeRFModel(
         field_cfg={"encoding_cfg": enc_cfg,
                    "density_decoder_cfg": {"D": 1, "W": 64},
                    "radiance_cfg": {"D": 2, "W": 64}},
         accel_cfg={"resolution": 64, "max_steps_per_ray": 96,
-                   "step_size": 2.0 / 96})
+                   "step_size": 2.0 / 96},
+        ray_query_cfg=qcfg)
     model.populate()
+    # realistic occupancy: ~15% of cells on (a sphere-ish shell), so the
+    # compressed path has real sparsity to exploit, as in a trained scene
+    occ = jax.random.uniform(jax.random.key(5),
+                             model.accel.occ.val_grid[...].shape) < 0.15
+    model.accel.occ.val_grid[...] = occ.astype(jnp.float32)
     graphdef, state = nnx.split(model)
 
-    n_rays = 8192
     k1, k2 = jax.random.split(jax.random.key(0))
     o = jax.random.normal(k1, (n_rays, 3))
     o = o / jnp.linalg.norm(o, axis=-1, keepdims=True) * 2.0
     d = -o / 2.0 + jax.random.normal(k2, (n_rays, 3)) * 0.1
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
-    def render(state, oo, dd):
-        m = nnx.merge(graphdef, state)
-        rt = m.space.ray_test(oo, dd)
-        rendered, _ = nerf_ray_query_march_occ(m, m.accel, m.space, rt)
+    def render(st, oo, dd):
+        m = nnx.merge(graphdef, st)
+        rt = m.ray_test(oo, dd)
+        rendered, _ = m.ray_query(rt)
         return rendered["rgb_volume"]
 
-    run = jax.jit(render)
-    out = run(state, o, d)
-    float(out.astype(jnp.float32).sum())
-
     def chain(n):
-        def body(i, carry):
-            c, acc = carry
-            y = run(state, o * (1.0 + c * 1e-30), d)
-            s = jnp.sum(y.astype(jnp.float32))
-            return s * 1e-30, acc + s
+        def chained(c, st, oo, dd):
+            def body(i, carry):
+                cc, acc = carry
+                y = render(st, oo * (1.0 + cc * 1e-30), dd)
+                s = jnp.sum(y.astype(jnp.float32))
+                return s * 1e-30, acc + s
 
-        return jax.jit(lambda c: jax.lax.fori_loop(0, n, body, (c, 0.0))[1])
+            return jax.lax.fori_loop(0, n, body, (c, 0.0))[1]
+
+        return jax.jit(chained)
 
     f_lo, f_hi = chain(1), chain(5)
-    float(f_lo(0.0))
-    float(f_hi(0.0))
+    float(f_lo(0.0, state, o, d))
+    float(f_hi(0.0, state, o, d))
 
     def t(f):
         t0 = time.perf_counter()
-        float(f(0.0))
+        float(f(0.0, state, o, d))
         return time.perf_counter() - t0
 
-    dt = (min(t(f_hi) for _ in range(2)) - min(t(f_lo) for _ in range(2))) / 4
+    dt = (min(t(f_hi) for _ in range(3)) - min(t(f_lo) for _ in range(3))) / 4
     rays_s = n_rays / dt
     samples = n_rays * 96
-    print(f"render fwd ({'brick' if use_brick else 'xla'} encode): "
+    print(f"render fwd ({'brick' if use_brick else 'xla'} encode, {mode}): "
           f"{dt*1e3:.2f} ms / {n_rays} rays -> {rays_s/1e3:.1f} Krays/s "
           f"({samples/dt/1e6:.1f} Msamples/s incl. masked)")
+    return rays_s
 
 
 if __name__ == "__main__":
-    main(use_brick="--brick" in sys.argv)
+    mode = "march_occ"
+    if "--mode" in sys.argv:
+        mode = sys.argv[sys.argv.index("--mode") + 1]
+    if "--compressed" in sys.argv:
+        mode = "march_occ_compressed"
+    main(use_brick="--brick" in sys.argv, mode=mode)

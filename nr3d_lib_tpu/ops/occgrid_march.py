@@ -63,13 +63,28 @@ def occgrid_query(occ: Array, x: Array) -> Array:
     """Query a binary occupancy grid at normalized positions x ∈ [-1,1]^D.
 
     occ: [r0, r1, r2] bool. Out-of-range queries return False.
+
+    Lowering note (v5e, 786k queries): 3-vector advanced indexing 9.9 ms →
+    single-axis flat take 6.2 ms → Pallas row-gather (TPU only) ~1 ms.
     """
     res = jnp.asarray(occ.shape, x.dtype)
     u = (x + 1.0) * 0.5  # [0,1]
     idx = jnp.floor(u * res).astype(jnp.int32)
     inb = jnp.all((idx >= 0) & (idx < jnp.asarray(occ.shape)), axis=-1)
     idx = jnp.clip(idx, 0, jnp.asarray(occ.shape) - 1)
-    vals = occ[idx[..., 0], idx[..., 1], idx[..., 2]]
+    if jax.default_backend() == "tpu" and occ.ndim == 3 \
+            and occ.shape[2] <= 128 and idx.ndim == 2:
+        from nr3d_lib_tpu.ops.gather1d import gather_rows_lanes
+
+        row = idx[..., 0] * occ.shape[1] + idx[..., 1]
+        vals = gather_rows_lanes(
+            occ.reshape(occ.shape[0] * occ.shape[1],
+                        occ.shape[2]).astype(jnp.float32),
+            row, idx[..., 2]) > 0.5
+    else:
+        flat = (idx[..., 0] * occ.shape[1] + idx[..., 1]) * occ.shape[2] \
+            + idx[..., 2]
+        vals = jnp.take(occ.reshape(-1), flat, mode="clip")
     return vals & inb
 
 
