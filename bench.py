@@ -78,6 +78,15 @@ def main():
         l, (dt_, dx_) = jax.value_and_grad(loss, argnums=(0, 1))(tt, xx)
         return l + jnp.sum(dt_[0]) * 1e-30 + jnp.sum(dx_[0]) * 1e-30
 
+    def fwdbwd_frozen(xx, tt, coherent):
+        # plain radiance-field training: positions carry no gradient, the
+        # backward skips its table gather (brick_encode_frozen_x)
+        def loss(t_, x_):
+            return jnp.sum(B.brick_encode_frozen_x(x_, t_, meta) ** 2)
+
+        l, dt_ = jax.value_and_grad(loss)(tt, xx)
+        return l + jnp.sum(dt_[0]) * 1e-30
+
     def chain(run, coherent, n):
         def chained(c, x0, tt):
             def body(i, carry):
@@ -106,7 +115,9 @@ def main():
     for name, run, coh, xx in [("fwd_random_gs", fwd, False, x_rand),
                                ("fwd_ray_gs", fwd, True, x_ray),
                                ("fwdbwd_random_gs", fwdbwd, False, x_rand),
-                               ("fwdbwd_ray_gs", fwdbwd, True, x_ray)]:
+                               ("fwdbwd_ray_gs", fwdbwd, True, x_ray),
+                               ("fwdbwd_frozen_x_gs", fwdbwd_frozen, False,
+                                x_rand)]:
         detail[name] = round(measure(run, coh, xx), 4)
         print(f"# {name} = {detail[name]}", file=sys.stderr, flush=True)
     # roofline context: 8 scalar row-gathers/pt at ~0.94G issue/s ceiling

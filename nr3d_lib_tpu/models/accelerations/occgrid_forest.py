@@ -107,6 +107,27 @@ class OccGridAccelForest(nnx.Module):
         occ = self.query(x)
         return t, dt, bidx, in_range & occ
 
+    def ray_march_segmented(self, rays_o: Array, rays_d: Array,
+                            near: Array, far: Array, *,
+                            max_segments: int = 32,
+                            steps_per_segment: int = 16,
+                            perturb_key=None
+                            ) -> Tuple[Array, Array, Array, Array]:
+        """Segment-based forest marching (reference SPC raytrace →
+        forest_ray_marching two-stage, SURVEY §3.5): block segments from the
+        space's vectorized raytrace, samples only inside them, then the
+        per-block cell-occupancy mask. Unlike `ray_march`, no sample slots
+        are spent on inter-block empty space, so the same capacity covers
+        much longer rays (large scenes)."""
+        segs = self.space.ray_test_segments(rays_o, rays_d, near, far,
+                                            max_segments=max_segments)
+        t, dt, bidx, mask = self.space.march_segments(
+            segs, steps_per_segment=steps_per_segment,
+            perturb_key=perturb_key)
+        x = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
+        occ = self.query(x)
+        return t, dt, bidx, mask & occ
+
     def debug_stats(self) -> dict:
         occ = self.occ.occ()
         return {"occ_ratio": float(jnp.mean(occ.astype(jnp.float32))),

@@ -153,6 +153,12 @@ class LoTDNeRF(nnx.Module):
         from nr3d_lib_tpu.models.grid_encodings.lotd import get_lotd_encoding
 
         self.encoding = get_lotd_encoding(3, **enc_cfg, seed=seed)
+        # NeRF density never differentiates w.r.t. positions (no eikonal);
+        # the brick backend then runs its gather-free backward (mirrors the
+        # reference's automatic need_input_grad=False, lotd.py:48). Set
+        # False if positions must carry gradient (pose refinement).
+        self._frozen_x = (enc_cfg.get("backend", "xla") == "brick"
+                          and bool(enc_cfg.get("frozen_x", True)))
         self.n_geo_feat = n_geo_feat
         dec_cfg = dict(density_decoder_cfg or {})
         dec_cfg.setdefault("D", 1)
@@ -163,7 +169,9 @@ class LoTDNeRF(nnx.Module):
                                     **(radiance_cfg or {}), seed=seed + 2)
 
     def forward_density(self, x: Array) -> Dict[str, Array]:
-        h = self.decoder(self.encoding(x))
+        h = self.encoding(x, frozen_x=True) if self._frozen_x \
+            else self.encoding(x)
+        h = self.decoder(h)
         return {"sigma": trunc_exp(h[..., 0]), "h": h[..., 1:]}
 
     def __call__(self, x: Array, v: Optional[Array] = None) -> Dict[str, Array]:

@@ -172,6 +172,8 @@ class LoTDForestNeuSModel(nnx.Module):
                  field_cfg: Optional[dict] = None,
                  accel_cfg: Optional[dict] = None,
                  n_march_steps: int = 256, step_size: Optional[float] = None,
+                 march_mode: str = "fixed", max_segments: int = 32,
+                 steps_per_segment: int = 16,
                  upsample_inv_s_factors=(1.0, 4.0), n_importance: int = 16,
                  upsample_inv_s: float = 64.0,
                  compression_factor: float = 0.25, seed: int = 0):
@@ -187,6 +189,13 @@ class LoTDForestNeuSModel(nnx.Module):
         self.field = LoTDForestNeuS(self.space, **(field_cfg or {}), seed=seed)
         self.n_march_steps = n_march_steps
         self.step_size = step_size or (self.space.block_size / 16.0)
+        # 'fixed': uniform candidate steps over [near,far] (occ-masked);
+        # 'segments': block segments from the vectorized forest raytrace,
+        # samples only inside them (reference SPC two-stage, SURVEY §3.5)
+        assert march_mode in ("fixed", "segments")
+        self.march_mode = march_mode
+        self.max_segments = int(max_segments)
+        self.steps_per_segment = int(steps_per_segment)
         self.accel = OccGridAccelForest(
             self.space, step_size=self.step_size,
             max_steps_per_ray=n_march_steps, **(accel_cfg or {}))
@@ -224,8 +233,14 @@ class LoTDForestNeuSModel(nnx.Module):
         key_m = None
         if key is not None:
             key, key_m = jax.random.split(key)
-        t, dt, bidx, smask = self.accel.ray_march(
-            rays_o, rays_d, near, far, perturb_key=key_m)
+        if self.march_mode == "segments":
+            t, dt, bidx, smask = self.accel.ray_march_segmented(
+                rays_o, rays_d, near, far, max_segments=self.max_segments,
+                steps_per_segment=self.steps_per_segment,
+                perturb_key=key_m)
+        else:
+            t, dt, bidx, smask = self.accel.ray_march(
+                rays_o, rays_d, near, far, perturb_key=key_m)
         r = t.shape[0]
 
         def sdf_fn(x):

@@ -84,15 +84,21 @@ class LoTDBrickEncoding(nnx.Module):
                 rows.append(p.reshape(lv.n_rows, B.LANES))
         return jnp.concatenate(rows, axis=0)
 
-    def __call__(self, x: Array, ho: bool = False) -> Array:
+    def __call__(self, x: Array, ho: bool = False,
+                 frozen_x: bool = False) -> Array:
         """x in [-1,1] → [N, 2·L] (kernel space is [0,1] like the reference).
 
         ho=True switches to the higher-order-differentiable XLA formulation
         (brick_encode_ho) — needed when the caller differentiates through
-        the backward (eikonal on nablas); the Pallas pair is 1st-order."""
+        the backward (eikonal on nablas); the Pallas pair is 1st-order.
+        frozen_x=True: positions carry no gradient (plain radiance-field
+        training) — the backward skips the table gather entirely (~1.3×
+        faster train step)."""
         table = self._build_table()
         if ho:
             return B.brick_encode_ho(x * 0.5 + 0.5, table, self.meta)
+        if frozen_x:
+            return B.brick_encode_frozen_x(x * 0.5 + 0.5, table, self.meta)
         return B.brick_encode(x * 0.5 + 0.5, table, self.meta,
                               self.use_pallas, self.coherent)
 

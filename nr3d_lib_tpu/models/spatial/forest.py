@@ -94,6 +94,51 @@ class ForestBlockSpace(nnx.Module):
         all_pts = (pts[:, None, :] + grid[None]).reshape(-1, 3)
         self.populate_from_points(all_pts)
 
+    def populate_from_mesh(self, verts, faces, samples_per_area: float = 64.0,
+                           dilate: int = 0, seed: int = 0):
+        """Occupy blocks intersecting a triangle mesh's surface (reference
+        populate_from_mesh forest.py:176): area-weighted surface sampling →
+        block marking, plus all triangle vertices."""
+        verts = np.asarray(verts, np.float64)
+        faces = np.asarray(faces, np.int64)
+        a, b, c = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+        area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=-1)
+        n_total = int(max(1, samples_per_area * area.sum() /
+                          max(self.block_size ** 2, 1e-12)))
+        n_total = min(n_total, 2_000_000)
+        rng = np.random.default_rng(seed)
+        tri = rng.choice(len(faces), n_total, p=area / area.sum())
+        u, v = rng.random(n_total), rng.random(n_total)
+        flip = u + v > 1.0
+        u[flip], v[flip] = 1.0 - u[flip], 1.0 - v[flip]
+        pts = (a[tri] + u[:, None] * (b - a)[tri] + v[:, None] * (c - a)[tri])
+        self.populate_from_points(np.concatenate([pts, verts], 0),
+                                  dilate=dilate)
+
+    def populate_from_pinhole_cameras(self, c2ws, intrs, hw, near: float,
+                                      far: float, n_samples_per_cam: int = 4096,
+                                      dilate: int = 0, seed: int = 0):
+        """Occupy blocks inside the union of pinhole view frusta (reference
+        populate_from_pinhole_cameras forest.py:226): stratified samples of
+        each frustum volume → block marking.
+
+        c2ws [C,4,4] (or [C,3,4]) cam→world, intrs [C,3,3], hw (H, W)."""
+        c2ws = np.asarray(c2ws, np.float64)
+        intrs = np.asarray(intrs, np.float64)
+        h, w = hw
+        rng = np.random.default_rng(seed)
+        all_pts = []
+        for c2w, k in zip(c2ws, intrs):
+            uv = rng.random((n_samples_per_cam, 2)) * np.asarray([w, h])
+            # depth stratified in disparity (near-heavy, like frustum volume)
+            z = 1.0 / (1.0 / near + rng.random(n_samples_per_cam)
+                       * (1.0 / far - 1.0 / near))
+            xc = (uv[:, 0] - k[0, 2]) / k[0, 0] * z
+            yc = (uv[:, 1] - k[1, 2]) / k[1, 1] * z
+            p_cam = np.stack([xc, yc, z], -1)
+            all_pts.append(p_cam @ c2w[:3, :3].T + c2w[:3, 3])
+        self.populate_from_points(np.concatenate(all_pts, 0), dilate=dilate)
+
     # ------------------------------------------------------------- mapping
     @property
     def block_coords(self) -> Array:
@@ -134,6 +179,85 @@ class ForestBlockSpace(nnx.Module):
         return {"near": t_near, "far": t_far, "mask": hit,
                 "rays_o": rays_o, "rays_d": rays_d,
                 "num_rays": rays_o.shape[0]}
+
+    def ray_test_segments(self, rays_o: Array, rays_d: Array,
+                          near: Optional[Array] = None,
+                          far: Optional[Array] = None,
+                          max_segments: int = 32) -> Dict[str, Array]:
+        """Per-ray block segments, entry-sorted — the reference's
+        SPC-raytrace ray_test (forest.py:305-396, kaolin raytrace_cuda) as a
+        TPU-native dense pass: one vectorized [R, n_trees] slab test + a
+        per-ray sort replaces the octree walk (regular compute beats pointer
+        chasing on this hardware; n_trees ≤ a few thousand in practice).
+
+        Returns {seg_t_in, seg_t_out, seg_bidx, seg_mask [R,K], n_segs [R],
+        near, far, mask} — the per-segment pack-info equivalent: segment k of
+        ray r covers t ∈ [seg_t_in, seg_t_out) inside block slot seg_bidx.
+        Blocks are disjoint, so segment order == global t order.
+        """
+        lo = (self.origin[...][None]
+              + self._block_coords.astype(rays_o.dtype) * self.block_size)
+        hi = lo + self.block_size                                  # [B,3]
+        o = rays_o[:, None, :]                                     # [R,1,3]
+        inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-12,
+                                jnp.full_like(rays_d, 1e-12), rays_d)
+        inv_d = inv_d[:, None, :]
+        t1 = (lo[None] - o) * inv_d                                # [R,B,3]
+        t2 = (hi[None] - o) * inv_d
+        t_in = jnp.max(jnp.minimum(t1, t2), axis=-1)               # [R,B]
+        t_out = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        t_lo = jnp.zeros((rays_o.shape[0],), rays_o.dtype) if near is None \
+            else jnp.broadcast_to(jnp.asarray(near), (rays_o.shape[0],))
+        t_hi = jnp.full((rays_o.shape[0],), 1e10, rays_o.dtype) if far is None \
+            else jnp.broadcast_to(jnp.asarray(far), (rays_o.shape[0],))
+        t_in = jnp.maximum(t_in, t_lo[:, None])
+        t_out = jnp.minimum(t_out, t_hi[:, None])
+        hit = t_in < t_out                                         # [R,B]
+
+        k = min(int(max_segments), t_in.shape[1])
+        key_sort = jnp.where(hit, t_in, jnp.inf)
+        order = jnp.argsort(key_sort, axis=1)[:, :k]               # [R,K]
+        seg_t_in = jnp.take_along_axis(t_in, order, axis=1)
+        seg_t_out = jnp.take_along_axis(t_out, order, axis=1)
+        seg_mask = jnp.take_along_axis(hit, order, axis=1)
+        seg_bidx = jnp.where(seg_mask, order.astype(jnp.int32), -1)
+        n_segs = jnp.sum(seg_mask.astype(jnp.int32), axis=1)
+        ray_near = jnp.where(seg_mask[:, 0], seg_t_in[:, 0], t_lo)
+        last = jnp.max(jnp.where(seg_mask, seg_t_out, -jnp.inf), axis=1)
+        ray_far = jnp.where(n_segs > 0, last, t_hi)
+        return {"seg_t_in": seg_t_in, "seg_t_out": seg_t_out,
+                "seg_bidx": seg_bidx, "seg_mask": seg_mask, "n_segs": n_segs,
+                "near": ray_near, "far": ray_far, "mask": n_segs > 0,
+                "rays_o": rays_o, "rays_d": rays_d,
+                "num_rays": rays_o.shape[0]}
+
+    def march_segments(self, segs: Dict[str, Array], *,
+                       steps_per_segment: int, perturb_key=None
+                       ) -> Tuple[Array, Array, Array, Array]:
+        """Sample inside each block segment (reference forest_marching.cu:27
+        in-segment stepping): S uniform steps per segment, concatenated in
+        segment order → globally t-sorted because blocks are disjoint.
+
+        → (t [R, K·S], dt [R, K·S], bidx [R, K·S], mask [R, K·S]); capacity
+        is spent only inside occupied blocks — the empty inter-block space
+        the fixed-step marcher burns slots on never appears.
+        """
+        s = int(steps_per_segment)
+        t_in, t_out = segs["seg_t_in"], segs["seg_t_out"]          # [R,K]
+        r, k = t_in.shape
+        length = jnp.maximum(t_out - t_in, 0.0)
+        dt = (length / s)[..., None]                               # [R,K,1]
+        if perturb_key is not None:
+            u = jax.random.uniform(perturb_key, (r, k, s), t_in.dtype)
+        else:
+            u = 0.5
+        i = jnp.arange(s, dtype=t_in.dtype)
+        t = t_in[..., None] + (i + u) * dt                         # [R,K,S]
+        mask = segs["seg_mask"][..., None] & (t < t_out[..., None])
+        bidx = jnp.broadcast_to(segs["seg_bidx"][..., None], (r, k, s))
+        return (t.reshape(r, k * s), jnp.broadcast_to(dt, (r, k, s)
+                                                      ).reshape(r, k * s),
+                bidx.reshape(r, k * s), mask.reshape(r, k * s))
 
     def ray_march_blocks(self, rays_o: Array, rays_d: Array, near: Array,
                          far: Array, *, n_steps: int, step_size: float,

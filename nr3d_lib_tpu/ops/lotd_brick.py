@@ -40,7 +40,8 @@ import numpy as np
 
 from nr3d_lib_tpu.ops.lotd import HASH_PRIMES
 
-__all__ = ["BrickMeta", "make_brick_meta", "brick_encode", "brick_encode_xla",
+__all__ = ["BrickMeta", "make_brick_meta", "brick_encode",
+           "brick_encode_frozen_x", "brick_encode_xla",
            "materialize_dense_brick_table", "vertex_grid_to_brick_rows",
            "BRICK_W", "LANES"]
 
@@ -341,22 +342,24 @@ def _fwd_kernel_v2(meta: BrickMeta, tile: int,
                             ).astype(out_ref.dtype)
 
 
-def _bwd_kernel_v2(meta: BrickMeta, tile: int,
+def _bwd_kernel_v2(meta: BrickMeta, tile: int, need_dx: bool,
                    rows_ref, lane_ref, frac_ref, table_ref, m_ref,
                    gup_ref, dtab_ref, dx_ref, scratch_ref):
     """Backward: dL/dtable scatter-accumulate + dL/dx fused MXU reduction.
 
     m_ref: [128, 4] _dx_matrix. gup_ref: [tile, 2L] upstream dL/dy.
     dtab_ref accumulates across sequential grid steps (constant index_map).
+    With need_dx=False the table gather + corner extraction are skipped
+    entirely (dL/dtable needs only the trilinear weights) — measured
+    ~50 vs ~60 cyc/pt; used when positions carry no gradient (plain
+    radiance-field training, reference lotd.py:48 LoTDFunction without
+    need_input_grad).
     """
     from jax.experimental import pallas as pl
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         dtab_ref[:, :] = jnp.zeros_like(dtab_ref)
-
-    _gather_phase(meta, tile, rows_ref, table_ref, scratch_ref)
-    g, w, s = _packed_lanes(meta, tile, lane_ref, frac_ref, scratch_ref)
 
     L = meta.n_levels
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
@@ -365,17 +368,35 @@ def _bwd_kernel_v2(meta: BrickMeta, tile: int,
     gup_pad = jnp.pad(gup_ref[:], ((0, 0), (0, LANES - gup_ref.shape[1])))
     gb = jnp.take_along_axis(gup_pad, lvl * 2 + (lane_i & 1), axis=1)
 
-    # ---- dL/dx: Σ_lane gb·g·(2b_a−1)·s_b·s_c·(res_a−2), folded into m_ref
-    h = gb * g
-    tx = h * s[1] * s[2]
-    ty = h * s[0] * s[2]
-    tz = h * s[0] * s[1]
-    # three single-column matmuls keep the per-axis sign/scale separate
-    dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32)
-    dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32)
-    dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32)
-    dx_ref[:, :] = jnp.concatenate([dx0, dx1, dx2],
-                                   axis=-1).astype(dx_ref.dtype)
+    if need_dx:
+        _gather_phase(meta, tile, rows_ref, table_ref, scratch_ref)
+        g, w, s = _packed_lanes(meta, tile, lane_ref, frac_ref, scratch_ref)
+
+        # ---- dL/dx: Σ_lane gb·g·(2b_a−1)·s_b·s_c·(res_a−2), via m_ref
+        h = gb * g
+        tx = h * s[1] * s[2]
+        ty = h * s[0] * s[2]
+        tz = h * s[0] * s[1]
+        # three single-column matmuls keep the per-axis sign/scale separate
+        dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32)
+        dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32)
+        dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32)
+        dx_ref[:, :] = jnp.concatenate([dx0, dx1, dx2],
+                                       axis=-1).astype(dx_ref.dtype)
+    else:
+        # weights only — no table data needed
+        q = lane_i & 15
+        k = q >> 1
+        bits = ((k >> 2) & 1, (k >> 1) & 1, k & 1)
+        frac_pad = jnp.pad(frac_ref[:],
+                           ((0, 0), (0, LANES - frac_ref.shape[1])))
+        s = []
+        for a, bit in enumerate(bits):
+            f_a = jnp.take_along_axis(
+                frac_pad, jnp.minimum(3 * lvl + a, LANES - 1), axis=1)
+            s.append(jnp.where(bit > 0, f_a, 1.0 - f_a))
+        w = s[0] * s[1] * s[2]
+        dx_ref[:, :] = jnp.zeros_like(dx_ref)
 
     # ---- dL/dtable: contribution per lane = gb·w, lane-scattered back to
     # the brick-row layout, then per-row scatter-add.
@@ -400,7 +421,7 @@ def _bwd_kernel_v2(meta: BrickMeta, tile: int,
         # reuse gather scratch as the scatter staging slab
         scratch_ref[pl.ds(l * tile, tile), :] = slab
 
-    INNER = 16
+    INNER = 64  # match the gather loop's tuning (16 measured 67 cyc/pt, 64 → 60)
 
     def scatter_body(i, _):
         base = i * INNER
@@ -475,7 +496,8 @@ def _brick_encode_pallas_impl(x: Array, table: Array, meta: BrickMeta,
 
 def _brick_bwd_pallas(x: Array, table: Array, g_up: Array, meta: BrickMeta,
                       tile: int = 2048, interpret: bool = False,
-                      coherent: bool = False) -> Tuple[Array, Array]:
+                      coherent: bool = False, need_dx: bool = True
+                      ) -> Tuple[Array, Array]:
     """Pallas backward: (dL/dx [N,3], dL/dtable [rows,128])."""
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
@@ -487,18 +509,19 @@ def _brick_bwd_pallas(x: Array, table: Array, g_up: Array, meta: BrickMeta,
             dx_i, dt_i = _brick_bwd_pallas_impl(
                 xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK], table,
                 gp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK], meta, tile,
-                interpret, coherent)
+                interpret, coherent, need_dx)
             dxs.append(dx_i)
             dtab = dtab + dt_i
         return jnp.concatenate(dxs, axis=0)[:n0], dtab
     return _brick_bwd_pallas_impl(x, table, g_up, meta, tile, interpret,
-                                  coherent)
+                                  coherent, need_dx)
 
 
 def _brick_bwd_pallas_impl(x: Array, table: Array, g_up: Array,
                            meta: BrickMeta, tile: int = 2048,
                            interpret: bool = False,
-                           coherent: bool = False) -> Tuple[Array, Array]:
+                           coherent: bool = False,
+                           need_dx: bool = True) -> Tuple[Array, Array]:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -510,7 +533,7 @@ def _brick_bwd_pallas_impl(x: Array, table: Array, g_up: Array,
     rows, lane_c, frac_c = _prologue(x, meta, table.dtype, tile)
     m_dx = jnp.asarray(_dx_matrix(meta), table.dtype)
 
-    kernel = functools.partial(_bwd_kernel_v2, meta, tile)
+    kernel = functools.partial(_bwd_kernel_v2, meta, tile, need_dx)
     dtab, dx = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
@@ -572,6 +595,34 @@ def _bwd(meta, use_pallas, coherent, res, g):
 
 
 brick_encode.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def brick_encode_frozen_x(x: Array, table: Array, meta: BrickMeta) -> Array:
+    """`brick_encode` for paths where positions carry NO gradient (plain
+    radiance-field training): the backward skips the table gather + corner
+    extraction entirely (~1.2× faster train step). x is treated as a
+    constant — equivalent to brick_encode(stop_gradient(x), ...)."""
+    x = jax.lax.stop_gradient(x)
+    if jax.default_backend() == "tpu":
+        return _brick_encode_pallas(x, table, meta)
+    return brick_encode_xla(x, table, meta)
+
+
+def _fwd_frozen(x, table, meta):
+    return brick_encode_frozen_x(x, table, meta), (x, table)
+
+
+def _bwd_frozen(meta, res, g):
+    x, table = res
+    if jax.default_backend() == "tpu":
+        _, dtab = _brick_bwd_pallas(x, table, g, meta, need_dx=False)
+        return jnp.zeros_like(x), dtab
+    _, vjp_fn = jax.vjp(lambda tt: brick_encode_xla(x, tt, meta), table)
+    return jnp.zeros_like(x), vjp_fn(g)[0]
+
+
+brick_encode_frozen_x.defvjp(_fwd_frozen, _bwd_frozen)
 
 
 def brick_encode_ho(x: Array, table: Array, meta: BrickMeta) -> Array:

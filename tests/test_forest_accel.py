@@ -150,3 +150,75 @@ def test_forest_sharded_train_step():
              if "flattened_params" in "/".join(
                  str(getattr(p, "key", getattr(p, "idx", p))) for p in path)][0]
     assert len(enc_g.sharding.device_set) == 8
+
+
+def test_forest_segment_raytrace():
+    """ray_test_segments: entry-sorted disjoint block segments matching an
+    analytic two-block setup (reference SPC raytrace forest.py:305-396)."""
+    from nr3d_lib_tpu.models.spatial.forest import ForestBlockSpace
+
+    sp = ForestBlockSpace(resolution=(4, 1, 1), origin=(0.0, 0.0, 0.0),
+                          block_size=1.0)
+    # occupy blocks x=0 and x=2 (gap at x=1)
+    sp.populate_from_corners(np.asarray([[0, 0, 0], [2, 0, 0]]))
+    o = jnp.asarray([[-1.0, 0.5, 0.5]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    segs = sp.ray_test_segments(o, d, max_segments=4)
+    n = int(segs["n_segs"][0])
+    assert n == 2
+    tin = np.asarray(segs["seg_t_in"][0, :n])
+    tout = np.asarray(segs["seg_t_out"][0, :n])
+    assert np.allclose(tin, [1.0, 3.0], atol=1e-5)
+    assert np.allclose(tout, [2.0, 4.0], atol=1e-5)
+    # entry-sorted and disjoint
+    assert tin[0] < tin[1] and tout[0] <= tin[1]
+    # a miss ray
+    o2 = jnp.asarray([[-1.0, 5.0, 0.5]])
+    segs2 = sp.ray_test_segments(o2, d, max_segments=4)
+    assert int(segs2["n_segs"][0]) == 0 and not bool(segs2["mask"][0])
+
+    # march_segments spends all slots inside occupied blocks
+    t, dt, bidx, mask = sp.march_segments(segs, steps_per_segment=8)
+    tm = np.asarray(t[0][np.asarray(mask[0])])
+    assert len(tm) == 16
+    inside = ((tm >= 1.0) & (tm < 2.0)) | ((tm >= 3.0) & (tm < 4.0))
+    assert inside.all()
+    assert (np.diff(np.asarray(t[0])) >= -1e-6).all()  # globally t-sorted
+    bm = np.asarray(bidx[0][np.asarray(mask[0])])
+    assert set(bm.tolist()) == {0, 1}
+
+
+def test_forest_segment_march_mode_model():
+    """march_mode='segments' model renders and concentrates samples in
+    occupied blocks vs the fixed-step marcher."""
+    m = _two_block_model(march_mode="segments", max_segments=8,
+                         steps_per_segment=8)
+    o = jnp.asarray([[-2.0, -0.5, -0.5]] * 4)
+    d = jnp.asarray([[1.0, 0.0, 0.0]] * 4)
+    rt = m.ray_test(o, d)
+    rendered, vb = m.ray_query(rt, key=jax.random.key(0))
+    assert np.isfinite(np.asarray(rendered["rgb_volume"])).all()
+    assert np.isfinite(np.asarray(rendered["depth_volume"])).all()
+
+
+def test_forest_populate_from_mesh_and_cameras():
+    from nr3d_lib_tpu.models.spatial.forest import ForestBlockSpace
+
+    # a triangle sitting in block (0,0,0) of a 2x2x2 forest
+    sp = ForestBlockSpace(resolution=(2, 2, 2), origin=(0.0, 0.0, 0.0),
+                          block_size=1.0)
+    verts = np.asarray([[0.2, 0.2, 0.2], [0.8, 0.2, 0.2], [0.2, 0.8, 0.2]])
+    faces = np.asarray([[0, 1, 2]])
+    sp.populate_from_mesh(verts, faces)
+    occ = np.asarray(sp.occupied[...])
+    assert occ[0, 0, 0] and occ.sum() == 1
+
+    # camera at origin looking +z covers blocks along z
+    sp2 = ForestBlockSpace(resolution=(2, 2, 2), origin=(-1.0, -1.0, 0.0),
+                          block_size=1.0)
+    c2w = np.eye(4)
+    K = np.asarray([[50.0, 0, 32], [0, 50.0, 32], [0, 0, 1]])
+    sp2.populate_from_pinhole_cameras([c2w], [K], (64, 64), near=0.1,
+                                      far=1.9)
+    assert sp2.n_trees >= 1
+    assert np.asarray(sp2.occupied[...]).any()
