@@ -1,7 +1,19 @@
 """Plotting helpers (matplotlib-based; reference: nr3d_lib/plot/)."""
 
 from nr3d_lib_tpu.plot.plot_basic import (  # noqa: F401
-    figure_to_image,
     color_depth,
+    color_error_map,
+    colorize_normals,
+    figure_to_image,
     gallery,
+    overlay_mask,
+)
+from nr3d_lib_tpu.plot.plot_3d import (  # noqa: F401
+    camera_frustum_lines,
+    forest_block_lines,
+    merge_linesets,
+    obb_lines,
+    occgrid_box_lines,
+    plot_lineset,
+    trajectory_lines,
 )

@@ -6,7 +6,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["figure_to_image", "color_depth", "gallery", "draw_2dbox"]
+__all__ = ["figure_to_image", "color_depth", "gallery", "draw_2dbox",
+           "overlay_mask", "colorize_normals", "color_error_map"]
 
 
 def figure_to_image(fig, close: bool = True) -> np.ndarray:
@@ -64,3 +65,37 @@ def draw_2dbox(img: np.ndarray, xy_min, xy_max, color=(255, 0, 0), thickness: in
     img[y0:y1, x0:x0 + t] = color
     img[y0:y1, x1 - t:x1] = color
     return img
+
+
+def overlay_mask(img: np.ndarray, mask: np.ndarray, color=(255, 0, 0),
+                 alpha: float = 0.5) -> np.ndarray:
+    """Alpha-blend a boolean/float mask onto an RGB image (reference:
+    plot_basic.py mask overlays)."""
+    img = np.asarray(img)
+    out = img.astype(np.float32).copy()
+    m = np.asarray(mask, np.float32)
+    if m.ndim == 2:
+        m = m[..., None]
+    c = np.asarray(color, np.float32).reshape(1, 1, 3)
+    out = out * (1.0 - alpha * m) + c * (alpha * m)
+    return out.astype(img.dtype if img.dtype == np.uint8 else np.float32)
+
+
+def colorize_normals(normals: np.ndarray) -> np.ndarray:
+    """Unit normals [-1,1]³ → uint8 RGB (the standard (n+1)/2 mapping)."""
+    n = np.asarray(normals, np.float32)
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+    return ((n * 0.5 + 0.5) * 255).astype(np.uint8)
+
+
+def color_error_map(err: np.ndarray, scale: Optional[float] = None,
+                    cmap: str = "coolwarm") -> np.ndarray:
+    """Signed error map → diverging-colormap uint8 RGB, symmetric about 0."""
+    import matplotlib.cm as cm
+
+    err = np.asarray(err, np.float32)
+    if scale is None:
+        scale = max(float(np.nanmax(np.abs(err))), 1e-8)
+    normed = np.clip(err / (2.0 * scale) + 0.5, 0.0, 1.0)
+    rgba = cm.get_cmap(cmap)(normed)
+    return (rgba[..., :3] * 255).astype(np.uint8)
