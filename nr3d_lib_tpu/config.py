@@ -206,6 +206,18 @@ def load_config(path: Union[str, os.PathLike], resolve_exprs: bool = True) -> Co
     return cfg
 
 
+def instantiate(cfg: dict, **overrides):
+    """Build an object from ``{"target": "pkg.mod.Class", "param": {...}}``
+    — the downstream construction pattern the reference's configs use
+    (import resolver + nested param dicts, reference config.py:18-19).
+    ``overrides`` are merged over ``param`` (e.g. runtime seeds)."""
+    cfg = ConfigDict(cfg)
+    target = import_str(cfg["target"])
+    param = ConfigDict(cfg.get("param", {})).to_dict()
+    param.update(overrides)
+    return target(**param)
+
+
 def save_config(cfg: dict, path: Union[str, os.PathLike]):
     with open(path, "w") as f:
         yaml.safe_dump(ConfigDict(cfg).to_dict(), f, sort_keys=False)

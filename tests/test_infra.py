@@ -146,3 +146,34 @@ def test_marching_cubes_sphere(tmp_path):
     assert len(verts) > 0 and len(faces) > 0
     r = np.linalg.norm(verts, axis=-1)
     assert abs(np.median(r) - 0.5) < 0.1
+
+
+def test_instantiate_and_config_zoo():
+    """Every example config builds its model via config.instantiate
+    (the downstream target/param construction pattern)."""
+    import glob
+    import os
+
+    from nr3d_lib_tpu.config import instantiate, load_config
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "examples",
+                           "configs")
+    paths = sorted(glob.glob(os.path.join(cfg_dir, "*.yaml")))
+    built = 0
+    for p in paths:
+        if os.path.basename(p).startswith("_"):
+            continue
+        cfg = load_config(p)
+        assert cfg.training.lr == 5.0e-3          # _base_ include merged
+        model = instantiate(cfg.model, seed=int(cfg.seed))
+        assert model is not None
+        built += 1
+    assert built >= 6
+
+
+def test_instantiate_overrides():
+    from nr3d_lib_tpu.config import instantiate
+
+    obj = instantiate({"target": "collections.OrderedDict",
+                       "param": {"a": 1}}, b=2)
+    assert obj == {"a": 1, "b": 2}
