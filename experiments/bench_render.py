@@ -95,10 +95,118 @@ def main(use_brick: bool = False, mode: str = "march_occ",
     return rays_s
 
 
+def main_train(use_brick: bool = False, kind: str = "nerf",
+               n_rays: int = 4096, n_samples: int = 64):
+    """Training-step throughput: full fwd+bwd+adam through the renderer.
+
+    kind='nerf': brick/XLA LoTD NeRF, fixed sampling, frozen-x backward on
+    the brick path. kind='neus': LoTD NeuS with nablas + eikonal — the
+    2nd-order path (reference math_test.py exercises; StreetSurf workload).
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    if kind == "nerf":
+        from nr3d_lib_tpu.graphics.nerf_ray_query import nerf_ray_query_fixed
+        from nr3d_lib_tpu.models.model_base import LoTDNeRFModel
+
+        enc_cfg = {"lotd_cfg": {
+            "lod_res": [16, 32, 64, 128, 256, 512], "lod_n_feats": 2,
+            "lod_types": ["Dense", "Dense", "Dense", "Hash", "Hash", "Hash"],
+            "hashmap_size": 2 ** 17}}
+        if use_brick:
+            enc_cfg["backend"] = "brick"
+        model = LoTDNeRFModel(field_cfg={
+            "encoding_cfg": enc_cfg,
+            "density_decoder_cfg": {"D": 1, "W": 64},
+            "radiance_cfg": {"D": 2, "W": 64}})
+    else:
+        from nr3d_lib_tpu.graphics.neus_ray_query import (
+            neus_ray_query_coarse_multi_upsample)
+        from nr3d_lib_tpu.models.model_base import LoTDNeuSModel
+
+        model = LoTDNeuSModel(field_cfg={"surface_cfg": {
+            "encoding_cfg": {"lotd_cfg": {
+                "lod_res": [16, 32, 64, 128], "lod_n_feats": 2,
+                "lod_types": ["Dense", "Dense", "Hash", "Hash"],
+                "hashmap_size": 2 ** 16}},
+            "decoder_cfg": {"D": 1, "W": 64}},
+            "radiance_cfg": {"D": 2, "W": 64}})
+    model.populate()
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(params)
+
+    k1, k2 = jax.random.split(jax.random.key(0))
+    o = jax.random.normal(k1, (n_rays, 3))
+    o = o / jnp.linalg.norm(o, axis=-1, keepdims=True) * 2.0
+    d = -o / 2.0 + jax.random.normal(k2, (n_rays, 3)) * 0.1
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rgb_gt = jnp.abs(d)
+
+    def step(params, opt_state, oo, dd, key):
+        def loss_fn(p):
+            m = nnx.merge(graphdef, p, rest)
+            rt = m.space.ray_test(oo, dd)
+            if kind == "nerf":
+                rendered, _ = nerf_ray_query_fixed(
+                    m, m.space, rt, n_samples=n_samples, perturb_key=key)
+                return jnp.mean((rendered["rgb_volume"] - rgb_gt) ** 2)
+            rendered, vb = neus_ray_query_coarse_multi_upsample(
+                m, m.space, rt, n_coarse=n_samples, perturb_key=key)
+            loss = jnp.mean((rendered["rgb_volume"] - rgb_gt) ** 2)
+            # eikonal on the queried nablas → 2nd-order backward
+            nab = vb["nablas"] if "nablas" in vb else rendered.get(
+                "normals_volume")
+            eik = jnp.mean((jnp.linalg.norm(nab, axis=-1) - 1.0) ** 2)
+            return loss + 0.1 * eik
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = opt.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    def chain(n):
+        def chained(c, p, os_, oo, dd):
+            def body(i, carry):
+                cc, pp, ss = carry
+                pp, ss, loss = step(pp, ss, oo * (1.0 + cc * 1e-30), dd,
+                                    jax.random.key(0))
+                return loss * 1e-30, pp, ss
+
+            out = jax.lax.fori_loop(0, n, body, (c, p, os_))
+            return out[0] + jax.tree.leaves(out[1])[0].ravel()[0] * 1e-30
+
+        return jax.jit(chained)
+
+    f_lo, f_hi = chain(1), chain(5)
+    float(f_lo(0.0, params, opt_state, o, d))
+    float(f_hi(0.0, params, opt_state, o, d))
+
+    def t(f):
+        t0 = time.perf_counter()
+        float(f(0.0, params, opt_state, o, d))
+        return time.perf_counter() - t0
+
+    dt = (min(t(f_hi) for _ in range(3)) - min(t(f_lo) for _ in range(3))) / 4
+    print(f"train step ({kind}, {'brick' if use_brick else 'xla'}): "
+          f"{dt*1e3:.2f} ms / {n_rays} rays x {n_samples} -> "
+          f"{n_rays/dt/1e3:.1f} Krays/s trained, {1.0/dt:.1f} steps/s")
+    return n_rays / dt
+
+
 if __name__ == "__main__":
     mode = "march_occ"
     if "--mode" in sys.argv:
         mode = sys.argv[sys.argv.index("--mode") + 1]
     if "--compressed" in sys.argv:
         mode = "march_occ_compressed"
-    main(use_brick="--brick" in sys.argv, mode=mode)
+    if "--train" in sys.argv:
+        kind = "neus" if "--neus" in sys.argv else "nerf"
+        main_train(use_brick="--brick" in sys.argv, kind=kind)
+    else:
+        main(use_brick="--brick" in sys.argv, mode=mode)

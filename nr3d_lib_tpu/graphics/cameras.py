@@ -239,3 +239,83 @@ def interp_poses(c2w0: Array, c2w1: Array, alpha) -> Array:
     t = c2w0[:3, 3] * (1 - alpha) + c2w1[:3, 3] * alpha
     m = jnp.eye(4, dtype=c2w0.dtype)
     return m.at[:3, :3].set(r).at[:3, 3].set(t)
+
+
+def smoothed_motion_interpolation(full_range: float, n: int,
+                                  uniform_proportion: float = 1.0 / 3.0
+                                  ) -> np.ndarray:
+    """Ease-in/ease-out sample spacing over [0, full_range]: sine-smoothed
+    ends, uniform middle (reference camera_paths.py:31)."""
+    u = np.linspace(0.0, np.pi, n)
+    eased = (1.0 - np.cos(u)) * 0.5                    # smooth 0→1
+    lin = np.linspace(0.0, 1.0, n)
+    w = float(np.clip(uniform_proportion, 0.0, 1.0))
+    return full_range * (w * lin + (1.0 - w) * eased)
+
+
+def _circle_basis(three_cam_centers: np.ndarray):
+    """Shared small-circle geometry: snapped centers, radius, plane normal
+    (reference camera_paths.py:50-70,162-180)."""
+    c = np.asarray(three_cam_centers, np.float64)
+    norms = np.linalg.norm(c, axis=-1)
+    radius = float(norms.max())
+    c = c * radius / norms[:, None]
+    up = np.cross(c[1] - c[0], c[2] - c[0])
+    up = up / max(np.linalg.norm(up), 1e-12)
+    return c, radius, up
+
+
+def path_small_circle(three_cam_centers, n_frames: int) -> Array:
+    """Sweep along the arc through three reference views, origin-focused,
+    ease-in/out pacing (reference camera_paths.py:162 get_path_small_circle)."""
+    from nr3d_lib_tpu.maths.transforms import axis_angle_to_matrix
+
+    c, radius, up = _circle_basis(three_cam_centers)
+    chord = np.linalg.norm(c[2] - c[0])
+    full_angle = 2.0 * np.arcsin(min(chord / (2.0 * radius), 1.0))
+    angles = smoothed_motion_interpolation(full_angle, n_frames)
+    poses = []
+    for a in angles:
+        r = np.asarray(axis_angle_to_matrix(jnp.asarray(up * a, jnp.float32)))
+        eye = r @ c[0]
+        poses.append(look_at(eye, jnp.zeros(3), up=jnp.asarray(up, jnp.float32)))
+    return jnp.stack(poses)
+
+
+def path_spherical_spiral(three_cam_centers, n_frames: int,
+                          n_rots: float = 2.2,
+                          up_angle_start: float = 0.0,
+                          up_angle: float = np.pi / 3.0) -> Array:
+    """Spherical spiral rising from the reference small circle toward its
+    pole, always focusing the origin (reference camera_paths.py:50
+    get_path_spherical_spiral)."""
+    c, radius, up = _circle_basis(three_cam_centers)
+    # orthonormal frame of the circle plane
+    e0 = c[0] / np.linalg.norm(c[0])
+    e0 = e0 - up * np.dot(up, e0)
+    e0 = e0 / max(np.linalg.norm(e0), 1e-12)
+    e1 = np.cross(up, e0)
+    thetas = np.linspace(0.0, 2.0 * np.pi * n_rots, n_frames)
+    phis = np.linspace(up_angle_start, up_angle, n_frames)
+    poses = []
+    for th, ph in zip(thetas, phis):
+        eye = radius * (np.cos(ph) * (np.cos(th) * e0 + np.sin(th) * e1)
+                        + np.sin(ph) * up)
+        poses.append(look_at(jnp.asarray(eye, jnp.float32), jnp.zeros(3),
+                             up=jnp.asarray(up, jnp.float32)))
+    return jnp.stack(poses)
+
+
+def path_interpolation(key_poses, n_frames: int) -> Array:
+    """Resample a key-pose trajectory [N,4,4] to n_frames: per-segment
+    slerp rotation + lerp translation (reference camera_paths.py:352
+    get_path_interpolation — scipy Slerp/interp1d replaced by our own)."""
+    key_poses = jnp.asarray(key_poses).reshape(-1, 4, 4)
+    n_keys = key_poses.shape[0]
+    times = np.linspace(0.0, n_keys - 1.0, n_frames)
+    poses = []
+    for t in times:
+        i = min(int(np.floor(t)), n_keys - 2)
+        poses.append(interp_poses(key_poses[i], key_poses[i + 1],
+                                  float(t - i)))
+    return jnp.stack(poses)

@@ -204,3 +204,43 @@ def test_frustum_culling_cases():
     c2ws = jnp.stack([c2w, look_at([0, 0, 4.0], [0, 0, 8.0])])
     out = frustum_culling_aabb(intr, c2ws, hw, box([0, 0, 0]))
     assert out.shape == (2,) and bool(out[0]) and not bool(out[1])
+
+
+def test_camera_paths_breadth():
+    """All four reference path generators (camera_paths.py:31-352)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from nr3d_lib_tpu.graphics.cameras import (
+        path_interpolation, path_small_circle, path_spherical_spiral,
+        smoothed_motion_interpolation, spherical_camera_path)
+
+    s = smoothed_motion_interpolation(1.0, 16)
+    assert s[0] == 0.0 and abs(s[-1] - 1.0) < 1e-9
+    assert (np.diff(s) > 0).all()
+    # eased ends: first step smaller than a middle step
+    assert s[1] - s[0] < s[8] - s[7]
+
+    three = np.asarray([[2.0, 0.5, 0.0], [0.0, 0.5, 2.0],
+                        [-2.0, 0.5, 0.0]])
+    for path in (path_small_circle(three, 12),
+                 path_spherical_spiral(three, 12, n_rots=1.5)):
+        p = np.asarray(path)
+        assert p.shape == (12, 4, 4)
+        # orthonormal rotations
+        rtr = p[:, :3, :3] @ np.transpose(p[:, :3, :3], (0, 2, 1))
+        assert np.allclose(rtr, np.eye(3), atol=1e-4)
+        # camera keeps looking at the origin: +z axis ~ -eye direction
+        fwd = p[:, :3, 2]
+        eye = p[:, :3, 3]
+        cos = np.sum(fwd * (-eye), -1) / np.linalg.norm(eye, axis=-1)
+        assert (cos > 0.99).all()
+
+    keys = np.asarray(spherical_camera_path(4, radius=2.0))
+    out = np.asarray(path_interpolation(keys, 13))
+    assert out.shape == (13, 4, 4)
+    assert np.allclose(out[0], keys[0], atol=1e-5)
+    assert np.allclose(out[-1], keys[-1], atol=1e-5)
+    # translations lerp per segment (chords of the orbit): norm in
+    # [2·cos(45°), 2] for 4 keys on a radius-2 circle
+    norms = np.linalg.norm(out[:, :3, 3], axis=-1)
+    assert (norms <= 2.0 + 1e-5).all() and (norms >= 1.40).all()
