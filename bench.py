@@ -78,6 +78,19 @@ def main():
         l, (dt_, dx_) = jax.value_and_grad(loss, argnums=(0, 1))(tt, xx)
         return l + jnp.sum(dt_[0]) * 1e-30 + jnp.sum(dx_[0]) * 1e-30
 
+    def nablas_fwdbwd(xx, tt, coherent):
+        # eikonal training: the nablas op (dydx kernel) forward + its
+        # 2nd-order Pallas backward (reference lotd_encoding.h:765)
+        gup = jnp.ones((xx.shape[0], 2 * meta.n_levels), jnp.float32) * 1e-2
+
+        def loss(g_, x_, t_):
+            return jnp.sum(B.brick_nablas(g_, x_, t_, meta) ** 2)
+
+        l, (dg_, dx_, dt_) = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+            gup, xx, tt)
+        return l + jnp.sum(dg_[0]) * 1e-30 + jnp.sum(dx_[0]) * 1e-30 \
+            + jnp.sum(dt_[0]) * 1e-30
+
     def fwdbwd_frozen(xx, tt, coherent):
         # plain radiance-field training: positions carry no gradient, the
         # backward skips its table gather (brick_encode_frozen_x)
@@ -117,6 +130,8 @@ def main():
                                ("fwdbwd_random_gs", fwdbwd, False, x_rand),
                                ("fwdbwd_ray_gs", fwdbwd, True, x_ray),
                                ("fwdbwd_frozen_x_gs", fwdbwd_frozen, False,
+                                x_rand),
+                               ("nablas_2nd_order_gs", nablas_fwdbwd, False,
                                 x_rand)]:
         detail[name] = round(measure(run, coh, xx), 4)
         print(f"# {name} = {detail[name]}", file=sys.stderr, flush=True)

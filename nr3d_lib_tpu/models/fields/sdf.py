@@ -66,9 +66,13 @@ class LoTDSDF(nnx.Module):
                            ) -> Dict[str, Array]:
         """(sdf, h, nablas=∂sdf/∂x) — reference lotd_sdf.py:201
         forward_sdf_nablas. Gradients through `nablas` (eikonal loss)
-        trigger second-order autodiff end-to-end. With the brick backend,
-        has_grad=True routes the encode through its higher-order XLA
-        formulation (the Pallas backward is 1st-order only)."""
+        trigger second-order autodiff end-to-end. With the brick backend
+        this splits into decoder-vjp (tiny MLP, plain XLA) + the dedicated
+        encoding-nablas Pallas kernel whose backward is the 2nd-order
+        kernel pair (reference lotd.py:193 / lotd_encoding.h:765)."""
+        if getattr(self, "_enc_is_brick", False):
+            return self._forward_sdf_nablas_brick(x)
+
         def f(xx):
             out = self._sdf_h(xx, ho=has_grad)
             return out[..., 0], out[..., 1:]
@@ -76,6 +80,25 @@ class LoTDSDF(nnx.Module):
         (sdf, h), vjp_fn = jax.vjp(f, x)
         nablas = vjp_fn((jnp.ones_like(sdf), jnp.zeros_like(h)))[0]
         return {"sdf": sdf, "h": h, "nablas": nablas}
+
+    def _forward_sdf_nablas_brick(self, x: Array) -> Dict[str, Array]:
+        """nablas = ∂sdf/∂x_direct + J_encᵀ·∂sdf/∂h_enc; the decoder term
+        via jax.vjp (2nd-order-safe XLA), the encoding term via
+        `LoTDBrickEncoding.nablas_path` (Pallas fwd + 2nd-order bwd)."""
+        batch = x.shape[:-1]
+        xf = x.reshape(-1, 3)
+        h_enc = self.encoding(xf)
+
+        def dec(xx, hh):
+            out = self.decoder(jnp.concatenate([xx, hh], -1))
+            return out[..., 0], out[..., 1:]
+
+        (sdf, h), dec_vjp = jax.vjp(dec, xf, h_enc)
+        gx, gh = dec_vjp((jnp.ones_like(sdf), jnp.zeros_like(h)))
+        nablas = gx + self.encoding.nablas_path(xf, gh)
+        return {"sdf": sdf.reshape(batch),
+                "h": h.reshape(*batch, h.shape[-1]),
+                "nablas": nablas.reshape(*batch, 3)}
 
     def __call__(self, x: Array) -> Array:
         return self.forward_sdf(x)["sdf"]

@@ -21,7 +21,8 @@ from nr3d_lib_tpu.models.fields.neus import get_neus_var_ctrl
 from nr3d_lib_tpu.models.grid_encodings.lotd import LoTDEncoding
 from nr3d_lib_tpu.ops import permuto as _permuto
 
-__all__ = ["DynamicPermutoConcatSDF", "DynamicPermutoConcatNeuS", "EmerNeRF"]
+__all__ = ["DynamicPermutoConcatSDF", "DynamicPermutoConcatNeuS", "EmerNeRF",
+           "emernerf_cycle_loss"]
 
 Array = jax.Array
 
@@ -115,6 +116,8 @@ class EmerNeRF(nnx.Module):
     def __init__(self, *, static_cfg: Optional[dict] = None,
                  dynamic_permuto_cfg: Optional[dict] = None,
                  use_flow: bool = True, use_shadow: bool = True,
+                 temporal_aggregation: bool = True, dt: float = 0.02,
+                 agg_weights: Tuple[float, float, float] = (0.25, 0.5, 0.25),
                  n_geo_feat: int = 15, seed: int = 0):
         scfg = dict(static_cfg or {})
         scfg.setdefault("lotd_cfg", {
@@ -144,6 +147,9 @@ class EmerNeRF(nnx.Module):
         self.dyn_radiance = RadianceNet(n_extra_feat=n_geo_feat, seed=seed + 5)
         self.use_flow = use_flow
         self.use_shadow = use_shadow
+        self.temporal_aggregation = bool(temporal_aggregation and use_flow)
+        self.dt = float(dt)
+        self.agg_weights = tuple(float(w) for w in agg_weights)
         if use_flow:
             # (x, t) → forward+backward scene flow (emernerf.py flow field)
             self.flow_mlp = MLP(self.dyn_meta.out_features, 6, D=2, W=64,
@@ -165,14 +171,43 @@ class EmerNeRF(nnx.Module):
         return {"flow_fwd": fl[..., :3], "flow_bwd": fl[..., 3:]}
 
     def __call__(self, x: Array, v: Optional[Array], ts: Array,
-                 with_rgb: bool = True) -> Dict[str, Array]:
+                 with_rgb: bool = True,
+                 key: Optional[Array] = None) -> Dict[str, Array]:
+        """key: training-mode PRNG for the flow-warp noise ratio (reference
+        emernerf.py:284-301 samples noise∈[0,1.5); eval warps by exactly
+        ±dt). With temporal aggregation the dynamic features are the
+        agg_weights blend of (t−dt, t, t+dt) features at flow-warped
+        positions, and the warped-point flow re-predictions are returned
+        for the cycle-consistency loss (`emernerf_cycle_loss`)."""
         hs = self.static_decoder(self.static_encoding(x))
         sigma_s = trunc_exp(hs[..., 0])
         hd_feat = self._dyn_feats(x, ts)
-        hd = self.dyn_decoder(hd_feat)
+        out = {}
+        if self.temporal_aggregation:
+            fl = self.flow_mlp(hd_feat)
+            flow_fwd, flow_bwd = fl[..., :3], fl[..., 3:]
+            out["flow_fwd"], out["flow_bwd"] = flow_fwd, flow_bwd
+            ts_b = jnp.broadcast_to(jnp.asarray(ts, x.dtype).reshape(
+                (-1,) if jnp.ndim(ts) <= 1 else jnp.shape(ts)), x.shape[:-1])
+            if key is not None:
+                noise = 1.5 * jax.random.uniform(key, ts_b.shape, x.dtype)
+            else:
+                noise = jnp.ones_like(ts_b)
+            x_fwd = x + flow_fwd * noise[..., None]
+            x_bwd = x + flow_bwd * noise[..., None]
+            h_fwd = self._dyn_feats(x_fwd, ts_b + self.dt * noise)
+            h_bwd = self._dyn_feats(x_bwd, ts_b - self.dt * noise)
+            w = self.agg_weights
+            hd = self.dyn_decoder(w[0] * h_bwd + w[1] * hd_feat + w[2] * h_fwd)
+            # cycle consistency: the warped points' own flow predictions
+            out["flow_fwd_pred_bwd"] = self.flow_mlp(h_fwd)[..., 3:]
+            out["flow_bwd_pred_fwd"] = self.flow_mlp(h_bwd)[..., :3]
+        else:
+            hd = self.dyn_decoder(hd_feat)
         sigma_d = trunc_exp(hd[..., 0])
         sigma = sigma_s + sigma_d
-        out = {"sigma": sigma, "sigma_static": sigma_s, "sigma_dynamic": sigma_d}
+        out.update({"sigma": sigma, "sigma_static": sigma_s,
+                    "sigma_dynamic": sigma_d})
         if with_rgb:
             rgb_s = self.static_radiance(x, v, None, hs[..., 1:])
             if self.use_shadow:
@@ -184,6 +219,19 @@ class EmerNeRF(nnx.Module):
             out["rgb"] = rgb_s * (1 - ratio) + rgb_d * ratio
             out["rgb_static"] = rgb_s
             out["rgb_dynamic"] = rgb_d
-        if self.use_flow:
+        if self.use_flow and not self.temporal_aggregation:
             out.update(self.query_flow(x, ts))
         return out
+
+
+def emernerf_cycle_loss(out: Dict[str, Array],
+                        mask: Optional[Array] = None) -> Array:
+    """Flow cycle-consistency (reference emernerf.py flow_fwd_pred_bwd /
+    flow_bwd_pred_fwd usage): the backward flow predicted at the
+    forward-warped point must undo the forward flow, and vice versa."""
+    c1 = jnp.sum((out["flow_fwd"] + out["flow_fwd_pred_bwd"]) ** 2, -1)
+    c2 = jnp.sum((out["flow_bwd"] + out["flow_bwd_pred_fwd"]) ** 2, -1)
+    c = c1 + c2
+    if mask is not None:
+        return jnp.sum(c * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.mean(c)

@@ -104,6 +104,15 @@ class LoTDBrickEncoding(nnx.Module):
 
     forward = __call__
 
+    def nablas_path(self, x: Array, g_up: Array) -> Array:
+        """J_enc(x)ᵀ·g_up in the module's [-1,1] input convention, via the
+        dedicated nablas Pallas kernel whose OWN backward is the 2nd-order
+        kernel pair (reference LoTDFunctionBwdDydx, lotd.py:193 — grads of
+        an eikonal loss flow to g_up / x / params through it). The 0.5
+        folds the [-1,1]→[0,1] input rescale into the chain rule."""
+        table = self._build_table()
+        return 0.5 * B.brick_nablas(g_up, x * 0.5 + 0.5, table, self.meta)
+
     def state_dict(self):
         return {"flattened_params": self.flattened_params[...]}
 

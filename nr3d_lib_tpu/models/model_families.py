@@ -280,6 +280,16 @@ class EmerNeRFModel(nnx.Module, ModelMixin):
         the predicted scene flow and average the dynamic branch over the
         three timestamps — supervises the flow field through reconstruction."""
         out = self.field(x, v, ts, with_rgb=with_rgb)
+        if getattr(self.field, "temporal_aggregation", False):
+            # the field already blends flow-warped (t−dt, t, t+dt) FEATURES
+            # internally (reference emernerf.py:284-316); expose its cycle
+            # residuals (warped-point flow must undo the warp) for the
+            # flow regularizer
+            if "flow_fwd_pred_bwd" in out:
+                out["flow_cycle"] = jnp.concatenate(
+                    [out["flow_fwd"] + out["flow_fwd_pred_bwd"],
+                     out["flow_bwd"] + out["flow_bwd_pred_fwd"]], -1)
+            return out
         if not (self.temporal_aggregation and self.field.use_flow):
             return out
         dt = self.temporal_delta

@@ -436,6 +436,155 @@ def _bwd_kernel_v2(meta: BrickMeta, tile: int, need_dx: bool,
     jax.lax.fori_loop(0, tile // INNER, scatter_body, 0)
 
 
+def _aux_patterns(meta: BrickMeta) -> np.ndarray:
+    """[8, 128] per-lane sign/scale patterns for the 2nd-order kernels.
+
+    rows 0-2: D̂_a(lane) = (2·bit_a−1)·(res_a−2)      (∂w/∂x_a sign·scale)
+    rows 3-5: pair patterns Â_{ab} = D̂_a·D̂_b / (s-scale) for (a,b) ∈
+              {(0,1),(0,2),(1,2)}                      (∂²w/∂x_a∂x_b)
+    Zero on lanes ≥ 16L (masks the garbage lanes everywhere they're used).
+    """
+    L = len(meta.levels)
+    m = np.zeros((8, LANES), np.float32)
+    pairs = ((0, 1), (0, 2), (1, 2))
+    for l, level in enumerate(meta.levels):
+        for q in range(16):
+            k = q >> 1
+            bits = ((k >> 2) & 1, (k >> 1) & 1, k & 1)
+            lane = l * 16 + q
+            d = [(2.0 * bits[a] - 1.0) * (level.res[a] - 2)
+                 for a in range(3)]
+            for a in range(3):
+                m[a, lane] = d[a]
+            for p, (a, b) in enumerate(pairs):
+                m[3 + p, lane] = d[a] * d[b]
+    return m
+
+
+def _lane_gb(meta, tile, gup_ref):
+    """Broadcast upstream dL/dy [tile,2L] to lanes: gb[n, lane] =
+    gup[n, (lane//16)·2 + (lane&1)]."""
+    L = meta.n_levels
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+    lvl = jnp.minimum(lane_i >> 4, L - 1)
+    gup_pad = jnp.pad(gup_ref[:], ((0, 0), (0, LANES - gup_ref.shape[1])))
+    return jnp.take_along_axis(gup_pad, lvl * 2 + (lane_i & 1), axis=1)
+
+
+def _dydx_kernel(meta: BrickMeta, tile: int,
+                 rows_ref, lane_ref, frac_ref, table_ref, m_ref, gup_ref,
+                 dx_ref, scratch_ref):
+    """Nablas-only kernel: dL/dx without the dL/dtable scatter — the
+    reference's `bwd_dydx` fast path (lotd.py:193 LoTDFunctionBwdDydx
+    forward). ~2.5× cheaper than the full backward when only nablas are
+    needed (render-time normals, NeuS upsampling, eikonal forward)."""
+    _gather_phase(meta, tile, rows_ref, table_ref, scratch_ref)
+    g, _, s = _packed_lanes(meta, tile, lane_ref, frac_ref, scratch_ref)
+    gb = _lane_gb(meta, tile, gup_ref)
+    h = gb * g
+    tx = h * s[1] * s[2]
+    ty = h * s[0] * s[2]
+    tz = h * s[0] * s[1]
+    dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32)
+    dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32)
+    dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32)
+    dx_ref[:, :] = jnp.concatenate([dx0, dx1, dx2], -1).astype(dx_ref.dtype)
+
+
+def _bwd2_kernel(meta: BrickMeta, tile: int,
+                 rows_ref, lane_ref, frac_ref, table_ref, mred_ref, aux_ref,
+                 gup_ref, gg_ref,
+                 dgup_ref, dtab_ref, dx_ref, scratch_ref):
+    """Backward OF the nablas op (2nd-order LoTD — reference
+    kernel_lod_backward_input_backward_grid, lotd_encoding.h:765).
+
+    Primal: nab_a(x) = Σ_lane gb·g·D̂_a·s_b·s_c with D̂_a = (2bit_a−1)(res_a−2).
+    Given the cotangent gg [tile,3] of nab, emits:
+      dgup  = d nab·gg / d(dL/dy)  [tile,2L]   (… → decoder-grad path)
+      dtab  = d nab·gg / d table   [rows,128]  (scatter-accumulated)
+      dx    = d nab·gg / d x       [tile,3]    (∂²w cross terms; trilinear
+                                                has zero ∂²/∂x_a² in-cell)
+    aux_ref: [8,128] _aux_patterns (D̂ rows 0-2, pair products rows 3-5,
+    zeroed on garbage lanes — they mask everything downstream).
+    """
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dtab_ref[:, :] = jnp.zeros_like(dtab_ref)
+
+    L = meta.n_levels
+    _gather_phase(meta, tile, rows_ref, table_ref, scratch_ref)
+    g, _, s = _packed_lanes(meta, tile, lane_ref, frac_ref, scratch_ref)
+    gb = _lane_gb(meta, tile, gup_ref)
+
+    sp0 = s[1] * s[2]
+    sp1 = s[0] * s[2]
+    sp2 = s[0] * s[1]
+    aux = aux_ref[:]                                          # [8,128]
+    d0 = aux[0:1, :] * sp0                                    # [tile,128]
+    d1 = aux[1:2, :] * sp1
+    d2 = aux[2:3, :] * sp2
+    gg0 = gg_ref[:, 0:1]
+    gg1 = gg_ref[:, 1:2]
+    gg2 = gg_ref[:, 2:3]
+    f_lane = gg0 * d0 + gg1 * d1 + gg2 * d2                   # Σ_a gg_a·D_a
+
+    # ---- dgup: Σ_{lanes of col} g·F  (one MXU reduce)
+    dgup_ref[:, :] = jnp.dot(g * f_lane, mred_ref[:],
+                             preferred_element_type=jnp.float32
+                             ).astype(dgup_ref.dtype)
+
+    # ---- dx: cross-derivative pairs; u_c = gb·g·s_c
+    h2 = gb * g
+    u0 = h2 * s[0]
+    u1 = h2 * s[1]
+    u2 = h2 * s[2]
+    ones_col = mred_ref[:, 0:1] * 0.0 + 1.0                   # [128,1]
+    z0 = gg1 * (u2 * aux[3:4, :]) + gg2 * (u1 * aux[4:5, :])
+    z1 = gg0 * (u2 * aux[3:4, :]) + gg2 * (u0 * aux[5:6, :])
+    z2 = gg0 * (u1 * aux[4:5, :]) + gg1 * (u0 * aux[5:6, :])
+    dxa = jnp.dot(z0, ones_col, preferred_element_type=jnp.float32)
+    dxb = jnp.dot(z1, ones_col, preferred_element_type=jnp.float32)
+    dxc = jnp.dot(z2, ones_col, preferred_element_type=jnp.float32)
+    dx_ref[:, :] = jnp.concatenate([dxa, dxb, dxc], -1).astype(dx_ref.dtype)
+
+    # ---- dtab: contribution per gathered lane = gb·F; same inverse lane
+    # map + scatter-add as the 1st-order backward
+    contrib = gb * f_lane
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+    for l in range(L):
+        lane_pad = jnp.pad(lane_ref[:],
+                           ((0, 0), (0, LANES - lane_ref.shape[1])))
+        lane0 = jnp.take_along_axis(lane_pad,
+                                    jnp.full((tile, LANES), l, jnp.int32),
+                                    axis=1)
+        d = lane_i - lane0
+        valid = (d >= 0) & (d <= 43) & ((d & 0b0010100) == 0)
+        dxb_ = (d >> 5) & 1
+        dyb_ = (d >> 3) & 1
+        dzb_ = (d >> 1) & 1
+        qinv = dxb_ * 8 + dyb_ * 4 + dzb_ * 2 + (d & 1)
+        src = jnp.clip(l * 16 + qinv, 0, LANES - 1)
+        slab = jnp.where(valid, jnp.take_along_axis(contrib, src, axis=1),
+                         0.0)
+        scratch_ref[pl.ds(l * tile, tile), :] = slab
+
+    INNER = 64
+
+    def scatter_body(i, _):
+        base = i * INNER
+        for kk in range(INNER):
+            n = base + kk
+            for l in range(L):
+                r = rows_ref[l, n]
+                dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
+                    scratch_ref[pl.ds(l * tile + n, 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, tile // INNER, scatter_body, 0)
+
+
 _MAX_CHUNK = 1 << 19  # Mosaic crashes on very large per-call shapes
 
 
@@ -623,6 +772,154 @@ def _bwd_frozen(meta, res, g):
 
 
 brick_encode_frozen_x.defvjp(_fwd_frozen, _bwd_frozen)
+
+
+def _brick_dydx_pallas(g_up: Array, x: Array, table: Array, meta: BrickMeta,
+                       tile: int = 2048, interpret: bool = False) -> Array:
+    """dL/dx only (no dtable scatter) via the dedicated Pallas kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n0 = x.shape[0]
+    if n0 > _MAX_CHUNK:
+        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
+        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        return jnp.concatenate(
+            [_brick_dydx_pallas(gp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
+                                xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
+                                table, meta, tile, interpret)
+             for i in range(k)], axis=0)[:n0]
+    x, n = _pad_points(x, tile)
+    n_pad = x.shape[0]
+    if g_up.shape[0] != n_pad:
+        g_up = jnp.pad(g_up, ((0, n_pad - g_up.shape[0]), (0, 0)))
+    L = meta.n_levels
+    rows, lane_c, frac_c = _prologue(x, meta, table.dtype, tile)
+    m_dx = jnp.asarray(_dx_matrix(meta), table.dtype)
+    kernel = functools.partial(_dydx_kernel, meta, tile)
+    dx = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, L), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2 * L), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, 3), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 3), table.dtype),
+        scratch_shapes=[pltpu.VMEM((L * tile, LANES), table.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(rows, lane_c, frac_c, table, m_dx, g_up)
+    return dx[:n]
+
+
+def _brick_bwd2_pallas(g_up: Array, x: Array, table: Array, gg: Array,
+                       meta: BrickMeta, tile: int = 2048,
+                       interpret: bool = False
+                       ) -> Tuple[Array, Array, Array]:
+    """2nd-order backward: cotangents (d_gup [N,2L], d_x [N,3],
+    d_table [rows,128]) of the nablas op given gg = cot(dL/dx)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n0 = x.shape[0]
+    if n0 > _MAX_CHUNK:
+        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
+        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        ggp = jnp.pad(gg, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        dgups, dxs, dtab = [], [], jnp.zeros_like(table)
+        for i in range(k):
+            sl = slice(i * _MAX_CHUNK, (i + 1) * _MAX_CHUNK)
+            a, b, c = _brick_bwd2_pallas(gp[sl], xp[sl], table, ggp[sl],
+                                         meta, tile, interpret)
+            dgups.append(a)
+            dxs.append(b)
+            dtab = dtab + c
+        return (jnp.concatenate(dgups)[:n0], jnp.concatenate(dxs)[:n0],
+                dtab)
+    x, n = _pad_points(x, tile)
+    n_pad = x.shape[0]
+    if g_up.shape[0] != n_pad:
+        g_up = jnp.pad(g_up, ((0, n_pad - g_up.shape[0]), (0, 0)))
+    if gg.shape[0] != n_pad:
+        gg = jnp.pad(gg, ((0, n_pad - gg.shape[0]), (0, 0)))
+    L = meta.n_levels
+    rows, lane_c, frac_c = _prologue(x, meta, table.dtype, tile)
+    m_red = jnp.asarray(_reduce_matrix(L), table.dtype)
+    aux = jnp.asarray(_aux_patterns(meta), table.dtype)
+    kernel = functools.partial(_bwd2_kernel, meta, tile)
+    dgup, dtab, dx = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, L), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2 * L), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, 2 * L), lambda i: (i, 0)),
+            pl.BlockSpec(table.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 2 * L), table.dtype),
+            jax.ShapeDtypeStruct(table.shape, table.dtype),
+            jax.ShapeDtypeStruct((n_pad, 3), table.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((L * tile, LANES), table.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(rows, lane_c, frac_c, table, m_red, aux, g_up, gg)
+    return dgup[:n], dx[:n], dtab
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def brick_nablas(g_up: Array, x: Array, table: Array,
+                 meta: BrickMeta) -> Array:
+    """Differentiable nablas: dL/dx of the encode given upstream dL/dy —
+    the reference's LoTDFunctionBwdDydx ("backward as forward", lotd.py:193)
+    whose OWN backward is the 2nd-order kernel (lotd_encoding.h:765). Use
+    for eikonal training: grads flow to (g_up → decoder, x, table) through
+    the Pallas pair on TPU, the XLA formulation elsewhere."""
+    if jax.default_backend() == "tpu":
+        return _brick_dydx_pallas(g_up, x, table, meta)
+    _, vjp_fn = jax.vjp(lambda xx: brick_encode_xla(xx, table, meta), x)
+    return vjp_fn(g_up)[0]
+
+
+def _nablas_fwd(g_up, x, table, meta):
+    return brick_nablas(g_up, x, table, meta), (g_up, x, table)
+
+
+def _nablas_bwd(meta, res, gg):
+    g_up, x, table = res
+    if jax.default_backend() == "tpu":
+        d_gup, d_x, d_tab = _brick_bwd2_pallas(g_up, x, table, gg, meta)
+        return d_gup, d_x, d_tab
+    # XLA reference formulation of the same three cotangents
+    def nab(gu, xx, tt):
+        _, vjp_fn = jax.vjp(lambda x_: brick_encode_xla(x_, tt, meta), xx)
+        return vjp_fn(gu)[0]
+
+    _, vjp2 = jax.vjp(nab, g_up, x, table)
+    return vjp2(gg)
+
+
+brick_nablas.defvjp(_nablas_fwd, _nablas_bwd)
 
 
 def brick_encode_ho(x: Array, table: Array, meta: BrickMeta) -> Array:

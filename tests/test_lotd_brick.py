@@ -169,6 +169,120 @@ def test_pallas_backward_interpret_mode(rng):
                                np.asarray(vjp_x(g)[0]), rtol=2e-4, atol=2e-3)
 
 
+def test_pallas_second_order_interpret_mode(rng):
+    """The dedicated 2nd-order Pallas pair (nablas kernel + its backward —
+    reference kernel_lod_backward_input_backward_grid, lotd_encoding.h:765)
+    vs the XLA nested-vjp formulation, in interpreter mode."""
+    bmeta = B.make_brick_meta([16, 32, 64], ["Dense", "Dense", "Hash"],
+                              hashmap_rows=512)
+    table = jnp.asarray(rng.standard_normal((bmeta.total_rows, 128))
+                        .astype(np.float32))
+    n = 512
+    x = jnp.asarray(rng.uniform(0.0, 0.999, (n, 3)).astype(np.float32))
+    g_up = jnp.asarray(rng.standard_normal((n, 2 * bmeta.n_levels))
+                       .astype(np.float32))
+    gg = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+
+    # primal: nablas kernel vs XLA vjp
+    _, vjp_x = jax.vjp(lambda xx: B.brick_encode_xla(xx, table, bmeta), x)
+    nab_ref = vjp_x(g_up)[0]
+    nab_k = B._brick_dydx_pallas(g_up, x, table, bmeta, tile=512,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(nab_k), np.asarray(nab_ref),
+                               rtol=2e-4, atol=2e-3)
+
+    # backward: the three cotangents vs XLA double-vjp
+    def nab_fn(gu, xx, tt):
+        _, vjp_fn = jax.vjp(lambda x_: B.brick_encode_xla(x_, tt, bmeta), xx)
+        return vjp_fn(gu)[0]
+
+    _, vjp2 = jax.vjp(nab_fn, g_up, x, table)
+    dgup_ref, dx_ref, dtab_ref = vjp2(gg)
+    dgup_k, dx_k, dtab_k = B._brick_bwd2_pallas(g_up, x, table, gg, bmeta,
+                                                tile=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(dgup_k), np.asarray(dgup_ref),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_ref),
+                               rtol=2e-4, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(dtab_k), np.asarray(dtab_ref),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_brick_nablas_custom_vjp_cpu(rng):
+    """brick_nablas on CPU (XLA fallback): eikonal-style loss grads to
+    (g_up, x, table) equal plain nested autodiff through brick_encode_xla."""
+    bmeta = B.make_brick_meta([16], ["Dense"])
+    table = jnp.asarray(rng.standard_normal((bmeta.total_rows, 128))
+                        .astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.uniform(0.1, 0.9, (16, 3)).astype(np.float32))
+    g_up = jnp.asarray(rng.standard_normal((16, 2)).astype(np.float32))
+
+    def eik_custom(gu, xx, tt):
+        nab = B.brick_nablas(gu, xx, tt, bmeta)
+        return ((jnp.linalg.norm(nab, axis=-1) - 1.0) ** 2).sum()
+
+    def eik_plain(gu, xx, tt):
+        _, vjp_fn = jax.vjp(lambda x_: B.brick_encode_xla(x_, tt, bmeta), xx)
+        nab = vjp_fn(gu)[0]
+        return ((jnp.linalg.norm(nab, axis=-1) - 1.0) ** 2).sum()
+
+    g_c = jax.grad(eik_custom, argnums=(0, 1, 2))(g_up, x, table)
+    g_p = jax.grad(eik_plain, argnums=(0, 1, 2))(g_up, x, table)
+    for a, b in zip(g_c, g_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_brick_sdf_field_nablas_path(rng):
+    """LoTDSDF with the brick backend: the decoder-vjp + encoding-nablas
+    split must equal plain autodiff of the whole field, for both the
+    nablas primal and the eikonal gradient to every parameter."""
+    import flax.nnx as nnx
+
+    from nr3d_lib_tpu.models.fields.sdf import LoTDSDF
+
+    f = LoTDSDF(encoding_cfg={
+        "backend": "brick",
+        "lotd_cfg": {"lod_res": [8, 16], "lod_types": ["Dense", "Hash"]},
+        "hashmap_rows": 128, "use_pallas": False},
+        decoder_cfg={"D": 1, "W": 16}, n_geo_feat=4, seed=0)
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, (32, 3)).astype(np.float32))
+
+    out = f.forward_sdf_nablas(x)
+    nab_ref = jax.vmap(jax.grad(lambda xx: f._sdf_h(xx[None])[0, 0]))(x)
+    np.testing.assert_allclose(np.asarray(out["nablas"]), np.asarray(nab_ref),
+                               rtol=1e-4, atol=1e-5)
+    sdf_ref = f.forward_sdf(x)
+    np.testing.assert_allclose(np.asarray(out["sdf"]),
+                               np.asarray(sdf_ref["sdf"]), rtol=1e-6)
+
+    graphdef, params, rest = nnx.split(f, nnx.Param, ...)
+
+    def eik(p, use_brick_path):
+        m = nnx.merge(graphdef, p, rest)
+        if use_brick_path:
+            o = m.forward_sdf_nablas(x)
+            nab = o["nablas"]
+        else:
+            def g1(xx):
+                return m._sdf_h(xx, ho=True)[..., 0].sum()
+
+            nab = jax.grad(g1)(x)
+        return ((jnp.linalg.norm(nab, axis=-1) - 1.0) ** 2).sum()
+
+    g_brick = jax.grad(lambda p: eik(p, True))(params)
+    g_plain = jax.grad(lambda p: eik(p, False))(params)
+    leaves_b = jax.tree_util.tree_leaves_with_path(g_brick)
+    leaves_p = {jax.tree_util.keystr(k): v
+                for k, v in jax.tree_util.tree_leaves_with_path(g_plain)}
+    assert leaves_b
+    for k, v in leaves_b:
+        ref = leaves_p[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(np.asarray(v), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(k))
+
+
 def test_brick_encoding_module(rng):
     from nr3d_lib_tpu.models.grid_encodings.lotd.lotd_brick_encoding import (
         LoTDBrickEncoding)
