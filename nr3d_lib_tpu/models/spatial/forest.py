@@ -56,6 +56,33 @@ class ForestBlockSpace(nnx.Module):
         self.block_idx[...] = jnp.asarray(idx)
         self.n_trees = int(len(coords))
         self._block_coords = jnp.asarray(coords, jnp.int32)  # [n_trees, 3]
+        self._build_hierarchy()
+
+    def _build_hierarchy(self, factor: int = 4):
+        """Two-level culling structure over the occupied blocks — the
+        TPU-native stand-in for the reference's SPC octree levels (reference
+        spatial/forest.py:305-396 + kaolin raytrace): supercells of
+        `factor`³ blocks with a padded member-slot list each. Ray tests cull
+        against the (few) occupied supercells first and only slab-test the
+        member blocks of the nearest hits, making `ray_test_segments`
+        O(n_super + K·factor³) per ray instead of O(n_trees) — the same
+        asymptotic as one octree descent, with static shapes and no pointer
+        chasing."""
+        self._hier_factor = int(factor)
+        coords = np.asarray(self._block_coords)
+        if len(coords) == 0:
+            self._super_coords = jnp.zeros((0, 3), jnp.int32)
+            self._super_members = jnp.zeros((0, factor ** 3), jnp.int32)
+            return
+        sc = coords // factor                                     # [B,3]
+        uniq, inv = np.unique(sc, axis=0, return_inverse=True)    # [S,3]
+        members = -np.ones((len(uniq), factor ** 3), np.int32)
+        fill = np.zeros(len(uniq), np.int64)
+        for slot, s in enumerate(inv):
+            members[s, fill[s]] = slot
+            fill[s] += 1
+        self._super_coords = jnp.asarray(uniq, jnp.int32)
+        self._super_members = jnp.asarray(members)
 
     def populate_from_corners(self, corners):
         """corners: [N,3] integer block coords (reference
@@ -180,39 +207,86 @@ class ForestBlockSpace(nnx.Module):
                 "rays_o": rays_o, "rays_d": rays_d,
                 "num_rays": rays_o.shape[0]}
 
+    def _slab(self, lo: Array, hi: Array, rays_o: Array, rays_d: Array
+              ) -> Tuple[Array, Array]:
+        """Vectorized slab test: boxes [..., 3] vs rays [R, 3] →
+        (t_in, t_out) [R, ...]."""
+        o = rays_o[:, None, :]
+        inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-12,
+                                jnp.full_like(rays_d, 1e-12), rays_d)
+        inv_d = inv_d[:, None, :]
+        t1 = (lo[None] - o) * inv_d
+        t2 = (hi[None] - o) * inv_d
+        return (jnp.max(jnp.minimum(t1, t2), axis=-1),
+                jnp.min(jnp.maximum(t1, t2), axis=-1))
+
     def ray_test_segments(self, rays_o: Array, rays_d: Array,
                           near: Optional[Array] = None,
                           far: Optional[Array] = None,
-                          max_segments: int = 32) -> Dict[str, Array]:
+                          max_segments: int = 32,
+                          hierarchy: Optional[bool] = None,
+                          coarse_keep: int = 16) -> Dict[str, Array]:
         """Per-ray block segments, entry-sorted — the reference's
         SPC-raytrace ray_test (forest.py:305-396, kaolin raytrace_cuda) as a
-        TPU-native dense pass: one vectorized [R, n_trees] slab test + a
-        per-ray sort replaces the octree walk (regular compute beats pointer
-        chasing on this hardware; n_trees ≤ a few thousand in practice).
+        TPU-native pass. Small forests run one dense [R, n_trees] slab test
+        + per-ray sort; large forests (or hierarchy=True) first cull against
+        the supercell level (`_build_hierarchy`) and slab-test only the
+        member blocks of the `coarse_keep` nearest supercell hits — the
+        octree descent as two static-shape passes.
 
         Returns {seg_t_in, seg_t_out, seg_bidx, seg_mask [R,K], n_segs [R],
         near, far, mask} — the per-segment pack-info equivalent: segment k of
         ray r covers t ∈ [seg_t_in, seg_t_out) inside block slot seg_bidx.
         Blocks are disjoint, so segment order == global t order.
         """
-        lo = (self.origin[...][None]
-              + self._block_coords.astype(rays_o.dtype) * self.block_size)
-        hi = lo + self.block_size                                  # [B,3]
-        o = rays_o[:, None, :]                                     # [R,1,3]
-        inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-12,
-                                jnp.full_like(rays_d, 1e-12), rays_d)
-        inv_d = inv_d[:, None, :]
-        t1 = (lo[None] - o) * inv_d                                # [R,B,3]
-        t2 = (hi[None] - o) * inv_d
-        t_in = jnp.max(jnp.minimum(t1, t2), axis=-1)               # [R,B]
-        t_out = jnp.min(jnp.maximum(t1, t2), axis=-1)
-        t_lo = jnp.zeros((rays_o.shape[0],), rays_o.dtype) if near is None \
-            else jnp.broadcast_to(jnp.asarray(near), (rays_o.shape[0],))
-        t_hi = jnp.full((rays_o.shape[0],), 1e10, rays_o.dtype) if far is None \
-            else jnp.broadcast_to(jnp.asarray(far), (rays_o.shape[0],))
+        r_n = rays_o.shape[0]
+        t_lo = jnp.zeros((r_n,), rays_o.dtype) if near is None \
+            else jnp.broadcast_to(jnp.asarray(near), (r_n,))
+        t_hi = jnp.full((r_n,), 1e10, rays_o.dtype) if far is None \
+            else jnp.broadcast_to(jnp.asarray(far), (r_n,))
+        if hierarchy is None:
+            hierarchy = self.n_trees > 4096
+
+        blk_lo = (self.origin[...][None]
+                  + self._block_coords.astype(rays_o.dtype) * self.block_size)
+        if hierarchy and self._super_coords.shape[0] > 0:
+            f = self._hier_factor
+            s_lo = (self.origin[...][None]
+                    + self._super_coords.astype(rays_o.dtype)
+                    * (self.block_size * f))
+            ts_in, ts_out = self._slab(s_lo, s_lo + self.block_size * f,
+                                       rays_o, rays_d)             # [R,S]
+            s_hit = (jnp.maximum(ts_in, t_lo[:, None])
+                     < jnp.minimum(ts_out, t_hi[:, None]))
+            kc = min(int(coarse_keep), ts_in.shape[1])
+            s_order = jnp.argsort(jnp.where(s_hit, ts_in, jnp.inf),
+                                  axis=1)[:, :kc]                  # [R,Kc]
+            s_kept = jnp.take_along_axis(s_hit, s_order, axis=1)
+            cand = self._super_members[s_order]                    # [R,Kc,M]
+            cand = jnp.where(s_kept[..., None], cand, -1
+                             ).reshape(r_n, kc * f ** 3)           # [R,C]
+            safe = jnp.maximum(cand, 0)
+            lo = blk_lo[safe]                                      # [R,C,3]
+            o = rays_o[:, None, :]
+            inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-12,
+                                    jnp.full_like(rays_d, 1e-12), rays_d)
+            inv_d = inv_d[:, None, :]
+            t1 = (lo - o) * inv_d
+            t2 = (lo + self.block_size - o) * inv_d
+            t_in = jnp.max(jnp.minimum(t1, t2), axis=-1)           # [R,C]
+            t_out = jnp.min(jnp.maximum(t1, t2), axis=-1)
+            valid = cand >= 0
+            bidx_cand = cand
+        else:
+            t_in, t_out = self._slab(blk_lo, blk_lo + self.block_size,
+                                     rays_o, rays_d)               # [R,B]
+            valid = jnp.ones_like(t_in, bool)
+            bidx_cand = jnp.broadcast_to(
+                jnp.arange(t_in.shape[1], dtype=jnp.int32)[None], t_in.shape)
+
         t_in = jnp.maximum(t_in, t_lo[:, None])
         t_out = jnp.minimum(t_out, t_hi[:, None])
-        hit = t_in < t_out                                         # [R,B]
+        hit = valid & (t_in < t_out)
 
         k = min(int(max_segments), t_in.shape[1])
         key_sort = jnp.where(hit, t_in, jnp.inf)
@@ -220,7 +294,9 @@ class ForestBlockSpace(nnx.Module):
         seg_t_in = jnp.take_along_axis(t_in, order, axis=1)
         seg_t_out = jnp.take_along_axis(t_out, order, axis=1)
         seg_mask = jnp.take_along_axis(hit, order, axis=1)
-        seg_bidx = jnp.where(seg_mask, order.astype(jnp.int32), -1)
+        seg_bidx = jnp.where(seg_mask,
+                             jnp.take_along_axis(bidx_cand, order, axis=1),
+                             -1)
         n_segs = jnp.sum(seg_mask.astype(jnp.int32), axis=1)
         ray_near = jnp.where(seg_mask[:, 0], seg_t_in[:, 0], t_lo)
         last = jnp.max(jnp.where(seg_mask, seg_t_out, -jnp.inf), axis=1)

@@ -222,3 +222,60 @@ def test_forest_populate_from_mesh_and_cameras():
                                       far=1.9)
     assert sp2.n_trees >= 1
     assert np.asarray(sp2.occupied[...]).any()
+
+
+def test_forest_hierarchical_segments_parity():
+    """Two-level supercell culling (the SPC-octree stand-in — VERDICT #10,
+    reference spatial/forest.py:305-396) must reproduce the dense
+    ray_test_segments exactly when coarse_keep covers all supercell hits."""
+    from nr3d_lib_tpu.models.spatial.forest import ForestBlockSpace
+
+    rng = np.random.default_rng(0)
+    # sparse road-like occupancy in a 32^3 block grid
+    sp = ForestBlockSpace(resolution=(32, 32, 8), origin=(-8.0, -8.0, -2.0),
+                          block_size=0.5)
+    ix = np.arange(32)
+    road = np.stack([ix, (8 + 0.4 * ix).astype(np.int64) % 32,
+                     np.full(32, 2)], -1)
+    blocks = np.concatenate([road + off for off in
+                             [[0, 0, 0], [0, 1, 0], [1, 0, 0], [0, 0, 1]]])
+    blocks = np.unique(np.clip(blocks, 0, [31, 31, 7]), axis=0)
+    sp.populate_from_corners(blocks)
+    assert sp._super_coords.shape[0] > 4
+
+    n = 64
+    o = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    o[:, 2] = rng.uniform(2.0, 4.0, n)
+    tgt = np.asarray(sp.block_coords)[rng.integers(0, sp.n_trees, n)]
+    tgt = (np.asarray(sp.origin[...]) + (tgt + rng.random((n, 3)))
+           * sp.block_size).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    dense = sp.ray_test_segments(jnp.asarray(o), jnp.asarray(d),
+                                 max_segments=16, hierarchy=False)
+    hier = sp.ray_test_segments(jnp.asarray(o), jnp.asarray(d),
+                                max_segments=16, hierarchy=True,
+                                coarse_keep=sp._super_coords.shape[0])
+    assert np.asarray(dense["mask"]).any()
+    for k in ["seg_bidx", "seg_mask", "n_segs", "mask"]:
+        np.testing.assert_array_equal(np.asarray(dense[k]),
+                                      np.asarray(hier[k]), err_msg=k)
+    m = np.asarray(dense["seg_mask"])
+    for k in ["seg_t_in", "seg_t_out"]:
+        np.testing.assert_allclose(np.asarray(dense[k])[m],
+                                   np.asarray(hier[k])[m],
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
+    for k in ["near", "far"]:
+        np.testing.assert_allclose(np.asarray(dense[k]), np.asarray(hier[k]),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
+
+    # truncated coarse_keep stays a valid (near-sorted) subset
+    hier4 = sp.ray_test_segments(jnp.asarray(o), jnp.asarray(d),
+                                 max_segments=16, hierarchy=True,
+                                 coarse_keep=4)
+    ti = np.asarray(hier4["seg_t_in"])
+    msk = np.asarray(hier4["seg_mask"])
+    for r in range(n):
+        tt = ti[r][msk[r]]
+        assert (np.diff(tt) >= -1e-6).all()
