@@ -183,3 +183,55 @@ def test_emernerf_model():
               "reg_shadow"):
         assert k in vb, k
     losses = _smoke_train(m, {"ts": ts}, use_nablas=False)
+
+
+def test_lotd_neus_model_brick_backend_train_step():
+    """LoTDNeuSModel with the brick encoding backend: full ray_query +
+    eikonal train step must run through the brick nablas dispatch
+    (LoTDSDF._forward_sdf_nablas_brick → brick_nablas; XLA fallback off-TPU)
+    with finite loss and nonzero encoding grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    from nr3d_lib_tpu.models.model_base import LoTDNeuSModel
+
+    m = LoTDNeuSModel(
+        field_cfg={"surface_cfg": {
+            "encoding_cfg": {
+                "backend": "brick", "use_pallas": False,
+                "lotd_cfg": {"lod_res": [8, 16], "lod_n_feats": 2,
+                             "lod_types": ["Dense", "Hash"]},
+                "hashmap_rows": 256},
+            "decoder_cfg": {"D": 1, "W": 16}},
+            "radiance_cfg": {"D": 1, "W": 16}},
+        accel_cfg={"resolution": 16, "max_steps_per_ray": 24,
+                   "step_size": 2 / 24},
+        ray_query_cfg={"query_mode": "coarse_multi_upsample", "n_coarse": 16,
+                       "upsample_inv_s_factors": [1.0], "n_importance": 8})
+    m.populate()
+    assert getattr(m.field.implicit_surface, "_enc_is_brick", False)
+
+    n = 8
+    k = jax.random.key(0)
+    o = jax.random.normal(k, (n, 3))
+    o = o / jnp.linalg.norm(o, -1, keepdims=True) * 2.0
+    d = -o
+    rt = m.space.ray_test(o, d)
+    graphdef, params, rest = nnx.split(m, nnx.Param, ...)
+
+    def loss_fn(p):
+        mm = nnx.merge(graphdef, p, rest)
+        rendered, vb = mm.ray_query(rt, key=jax.random.key(1))
+        eik = ((jnp.linalg.norm(vb["nablas"], axis=-1) - 1.0) ** 2
+               * vb["vw"]).sum() / jnp.maximum(vb["vw"].sum(), 1e-6)
+        return jnp.mean(rendered["rgb_volume"] ** 2) + 0.1 * eik
+
+    l, g = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(l))
+    leaves = {jax.tree_util.keystr(k_): v for k_, v in
+              jax.tree_util.tree_leaves_with_path(g)}
+    enc = [v for k_, v in leaves.items() if "flattened_params" in k_]
+    assert enc and all(np.isfinite(np.asarray(v)).all() for v in enc)
+    assert any(float(jnp.sum(jnp.abs(v))) > 0 for v in enc)
