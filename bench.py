@@ -140,6 +140,32 @@ def main():
     detail["pct_of_issue_ceiling_random"] = round(
         100 * detail["fwd_random_gs"] / 0.117, 1)
 
+    # end-to-end renderer throughput (the metric the renderer design
+    # optimizes — occupancy compression cuts the NUMBER of gathers; see
+    # docs/DESIGN.md §3 consequences). Round-1 march_occ+XLA: 50.4 Krays/s.
+    try:
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "bench_render", os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "experiments", "bench_render.py"))
+        br = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(br)
+        detail["render_fwd_brick_compressed_krays"] = round(
+            br.main(use_brick=True, mode="march_occ_compressed") / 1e3, 1)
+        print(f"# render_fwd_brick_compressed_krays = "
+              f"{detail['render_fwd_brick_compressed_krays']}",
+              file=sys.stderr, flush=True)
+        detail["train_step_nerf_brick_krays"] = round(
+            br.main_train(use_brick=True, kind="nerf") / 1e3, 1)
+        print(f"# train_step_nerf_brick_krays = "
+              f"{detail['train_step_nerf_brick_krays']}",
+              file=sys.stderr, flush=True)
+    except Exception as e:  # never lose the headline line to a render issue
+        print(f"# render bench skipped: {e}", file=sys.stderr, flush=True)
+
     baseline = 2.9  # GSamples/s (reference CUDA, 3.6M pts, fwd, random)
     headline = detail["fwd_random_gs"]
     print(json.dumps({

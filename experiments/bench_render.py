@@ -91,7 +91,8 @@ def main(use_brick: bool = False, mode: str = "march_occ",
     samples = n_rays * 96
     print(f"render fwd ({'brick' if use_brick else 'xla'} encode, {mode}): "
           f"{dt*1e3:.2f} ms / {n_rays} rays -> {rays_s/1e3:.1f} Krays/s "
-          f"({samples/dt/1e6:.1f} Msamples/s incl. masked)")
+          f"({samples/dt/1e6:.1f} Msamples/s incl. masked)",
+          file=sys.stderr)
     return rays_s
 
 
@@ -195,7 +196,8 @@ def main_train(use_brick: bool = False, kind: str = "nerf",
     dt = (min(t(f_hi) for _ in range(3)) - min(t(f_lo) for _ in range(3))) / 4
     print(f"train step ({kind}, {'brick' if use_brick else 'xla'}): "
           f"{dt*1e3:.2f} ms / {n_rays} rays x {n_samples} -> "
-          f"{n_rays/dt/1e3:.1f} Krays/s trained, {1.0/dt:.1f} steps/s")
+          f"{n_rays/dt/1e3:.1f} Krays/s trained, {1.0/dt:.1f} steps/s",
+          file=sys.stderr)
     return n_rays / dt
 
 

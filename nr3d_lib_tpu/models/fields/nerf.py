@@ -104,17 +104,19 @@ class PermutoNeRF(nnx.Module):
                  density_decoder_cfg: Optional[dict] = None,
                  radiance_cfg: Optional[dict] = None,
                  n_geo_feat: int = 15, seed: int = 0):
-        from nr3d_lib_tpu.ops import permuto as _permuto
+        from nr3d_lib_tpu.models.grid_encodings.permuto.permuto_encoding \
+            import PermutoParams
 
         cfg = dict(permuto_cfg or {})
         cfg.setdefault("res_list", [8.0, 16.0, 32.0, 64.0, 128.0])
         cfg.setdefault("n_feats", 2)
         cfg.setdefault("log2_hashmap_size", 17)
-        self.meta = _permuto.make_permuto_meta(
-            3, cfg["res_list"], cfg["n_feats"], cfg["log2_hashmap_size"])
-        self.flattened_params = nnx.Param(
-            jax.random.uniform(jax.random.key(seed), (self.meta.n_params,),
-                               jnp.float32, -1e-4, 1e-4))
+        self.bank = PermutoParams(
+            3, cfg["res_list"], n_feats=cfg["n_feats"],
+            log2_hashmap_size=cfg["log2_hashmap_size"],
+            backend=cfg.get("backend", "xla"),
+            hashmap_rows=cfg.get("hashmap_rows", 4096), seed=seed)
+        self.meta = self.bank.meta
         dec_cfg = dict(density_decoder_cfg or {})
         dec_cfg.setdefault("D", 1)
         dec_cfg.setdefault("W", 64)
@@ -125,10 +127,7 @@ class PermutoNeRF(nnx.Module):
         self.n_geo_feat = n_geo_feat
 
     def forward_density(self, x: Array) -> Dict[str, Array]:
-        from nr3d_lib_tpu.ops import permuto as _permuto
-
-        h = self.decoder(_permuto.permuto_encode(
-            x * 0.5 + 0.5, self.flattened_params[...], self.meta))
+        h = self.decoder(self.bank.encode(x * 0.5 + 0.5))
         return {"sigma": trunc_exp(h[..., 0]), "h": h[..., 1:]}
 
     def __call__(self, x: Array, v: Optional[Array] = None) -> Dict[str, Array]:

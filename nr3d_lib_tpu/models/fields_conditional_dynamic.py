@@ -18,7 +18,8 @@ from flax import nnx
 from nr3d_lib_tpu.models.blocks import MLP
 from nr3d_lib_tpu.models.fields.nerf import RadianceNet
 from nr3d_lib_tpu.models.fields.neus import get_neus_var_ctrl
-from nr3d_lib_tpu.ops import permuto as _permuto
+from nr3d_lib_tpu.models.grid_encodings.permuto.permuto_encoding import (
+    PermutoParams)
 
 __all__ = ["DynamicGenerativePermutoConcatSDF",
            "DynamicGenerativePermutoConcatNeuS"]
@@ -40,14 +41,15 @@ class DynamicGenerativePermutoConcatSDF(nnx.Module):
         cfg.setdefault("res_list", [8.0, 16.0, 32.0, 64.0])
         cfg.setdefault("n_feats", 2)
         cfg.setdefault("log2_hashmap_size", 16)
-        self.meta = _permuto.make_permuto_meta(
-            3 + z_dim + 1, cfg["res_list"], cfg["n_feats"],
-            cfg["log2_hashmap_size"])
+        # backend="cell" (TPU fast path) needs 3+z_dim+1 <= 5
+        self.bank = PermutoParams(
+            3 + z_dim + 1, cfg["res_list"], n_feats=cfg["n_feats"],
+            log2_hashmap_size=cfg["log2_hashmap_size"],
+            backend=cfg.get("backend", "xla"),
+            hashmap_rows=cfg.get("hashmap_rows", 4096), seed=seed)
+        self.meta = self.bank.meta
         self.z_dim = z_dim
         self.z_scale = z_scale
-        self.flattened_params = nnx.Param(
-            jax.random.uniform(jax.random.key(seed), (self.meta.n_params,),
-                               jnp.float32, -1e-4, 1e-4))
         dec = dict(decoder_cfg or {})
         dec.setdefault("D", 1)
         dec.setdefault("W", 64)
@@ -55,7 +57,12 @@ class DynamicGenerativePermutoConcatSDF(nnx.Module):
                            **dec, seed=seed + 1)
         self.n_geo_feat = n_geo_feat
 
-    def _sdf_h(self, x: Array, z: Array, ts: Array) -> Array:
+    @property
+    def flattened_params(self):
+        """Back-compat alias for the bank's table (pre-bank field API)."""
+        return self.bank.flattened_params
+
+    def _sdf_h(self, x: Array, z: Array, ts: Array, ho: bool = False) -> Array:
         z = jnp.broadcast_to(z, x.shape[:-1] + (self.z_dim,))
         ts = jnp.broadcast_to(jnp.asarray(ts).reshape(-1, 1)
                               if jnp.ndim(ts) <= 1 else ts,
@@ -63,7 +70,7 @@ class DynamicGenerativePermutoConcatSDF(nnx.Module):
         inp = jnp.concatenate([x * 0.5 + 0.5,
                                jnp.tanh(z * self.z_scale) * 0.5 + 0.5,
                                ts * 0.5 + 0.5], -1)
-        h = _permuto.permuto_encode(inp, self.flattened_params[...], self.meta)
+        h = self.bank.encode(inp, ho=ho)
         out = self.decoder(jnp.concatenate([x, h], -1))
         if self.radius_init > 0:
             # geometric init (sphere residual) — see fields_conditional.py
@@ -78,7 +85,7 @@ class DynamicGenerativePermutoConcatSDF(nnx.Module):
     def forward_sdf_nablas(self, x: Array, z: Array, ts: Array
                            ) -> Dict[str, Array]:
         def f(xx):
-            out = self._sdf_h(xx, z, ts)
+            out = self._sdf_h(xx, z, ts, ho=True)
             return out[..., 0], out[..., 1:]
 
         (sdf, h), vjp_fn = jax.vjp(f, x)

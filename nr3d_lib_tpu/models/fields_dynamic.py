@@ -19,7 +19,8 @@ from nr3d_lib_tpu.models.blocks import MLP
 from nr3d_lib_tpu.models.fields.nerf import RadianceNet, trunc_exp
 from nr3d_lib_tpu.models.fields.neus import get_neus_var_ctrl
 from nr3d_lib_tpu.models.grid_encodings.lotd import LoTDEncoding
-from nr3d_lib_tpu.ops import permuto as _permuto
+from nr3d_lib_tpu.models.grid_encodings.permuto.permuto_encoding import (
+    PermutoParams)
 
 __all__ = ["DynamicPermutoConcatSDF", "DynamicPermutoConcatNeuS", "EmerNeRF",
            "emernerf_cycle_loss"]
@@ -39,11 +40,12 @@ class DynamicPermutoConcatSDF(nnx.Module):
         cfg.setdefault("res_list", [8.0, 16.0, 32.0, 64.0, 128.0])
         cfg.setdefault("n_feats", 2)
         cfg.setdefault("log2_hashmap_size", 17)
-        self.meta = _permuto.make_permuto_meta(
-            4, cfg["res_list"], cfg["n_feats"], cfg["log2_hashmap_size"])
-        self.flattened_params = nnx.Param(
-            jax.random.uniform(jax.random.key(seed), (self.meta.n_params,),
-                               jnp.float32, -1e-4, 1e-4))
+        self.bank = PermutoParams(
+            4, cfg["res_list"], n_feats=cfg["n_feats"],
+            log2_hashmap_size=cfg["log2_hashmap_size"],
+            backend=cfg.get("backend", "xla"),
+            hashmap_rows=cfg.get("hashmap_rows", 4096), seed=seed)
+        self.meta = self.bank.meta
         dec = dict(decoder_cfg or {})
         dec.setdefault("D", 1)
         dec.setdefault("W", 64)
@@ -51,12 +53,17 @@ class DynamicPermutoConcatSDF(nnx.Module):
                            seed=seed + 1)
         self.n_geo_feat = n_geo_feat
 
-    def _sdf_h(self, x: Array, ts: Array) -> Array:
+    @property
+    def flattened_params(self):
+        """Back-compat alias for the bank's table (pre-bank field API)."""
+        return self.bank.flattened_params
+
+    def _sdf_h(self, x: Array, ts: Array, ho: bool = False) -> Array:
         ts = jnp.broadcast_to(jnp.asarray(ts).reshape(-1, 1)
                               if jnp.ndim(ts) <= 1 else ts,
                               x.shape[:-1] + (1,))
         inp = jnp.concatenate([x * 0.5 + 0.5, ts * 0.5 + 0.5], -1)
-        h = _permuto.permuto_encode(inp, self.flattened_params[...], self.meta)
+        h = self.bank.encode(inp, ho=ho)
         out = self.decoder(jnp.concatenate([x, h], -1))
         if self.radius_init > 0:
             # geometric init (sphere residual) — see fields_conditional.py
@@ -70,7 +77,9 @@ class DynamicPermutoConcatSDF(nnx.Module):
 
     def forward_sdf_nablas(self, x: Array, ts: Array) -> Dict[str, Array]:
         def f(xx):
-            out = self._sdf_h(xx, ts)
+            # ho: eikonal losses differentiate through this vjp — the cell
+            # backend routes to its all-orders XLA formulation here
+            out = self._sdf_h(xx, ts, ho=True)
             return out[..., 0], out[..., 1:]
 
         (sdf, h), vjp_fn = jax.vjp(f, x)
@@ -133,12 +142,12 @@ class EmerNeRF(nnx.Module):
         dcfg.setdefault("res_list", [8.0, 16.0, 32.0, 64.0])
         dcfg.setdefault("n_feats", 2)
         dcfg.setdefault("log2_hashmap_size", 16)
-        self.dyn_meta = _permuto.make_permuto_meta(
-            4, dcfg["res_list"], dcfg["n_feats"], dcfg["log2_hashmap_size"])
-        self.dyn_params = nnx.Param(
-            jax.random.uniform(jax.random.key(seed + 2),
-                               (self.dyn_meta.n_params,), jnp.float32,
-                               -1e-4, 1e-4))
+        self.dyn_bank = PermutoParams(
+            4, dcfg["res_list"], n_feats=dcfg["n_feats"],
+            log2_hashmap_size=dcfg["log2_hashmap_size"],
+            backend=dcfg.get("backend", "xla"),
+            hashmap_rows=dcfg.get("hashmap_rows", 4096), seed=seed + 2)
+        self.dyn_meta = self.dyn_bank.meta
         self.dyn_decoder = MLP(self.dyn_meta.out_features, 1 + n_geo_feat,
                                D=1, W=64, seed=seed + 3)
 
@@ -163,7 +172,7 @@ class EmerNeRF(nnx.Module):
                               if jnp.ndim(ts) <= 1 else ts,
                               x.shape[:-1] + (1,))
         inp = jnp.concatenate([x * 0.5 + 0.5, ts * 0.5 + 0.5], -1)
-        return _permuto.permuto_encode(inp, self.dyn_params[...], self.dyn_meta)
+        return self.dyn_bank.encode(inp)
 
     def query_flow(self, x: Array, ts: Array) -> Dict[str, Array]:
         h = self._dyn_feats(x, ts)

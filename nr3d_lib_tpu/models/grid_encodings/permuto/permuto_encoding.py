@@ -15,10 +15,67 @@ from flax import nnx
 
 from nr3d_lib_tpu.models.annealers import MultiresAnnealer
 from nr3d_lib_tpu.ops import permuto as _permuto
+from nr3d_lib_tpu.ops import permuto_cell as _pcell
 
-__all__ = ["PermutoEncoding"]
+__all__ = ["PermutoEncoding", "PermutoParams"]
 
 Array = jax.Array
+
+
+class PermutoParams(nnx.Module):
+    """Meta + flat parameters + encode() for a permuto table — the shared
+    backbone of every permuto-based field (reference PermutoEncImpl,
+    permuto.py:293). backend:
+      * 'xla'  — classic lattice, d+1 gathers/(pt,level) (`ops/permuto.py`)
+      * 'cell' — cell-packed rows, 1 gather/(pt,level) Pallas fast path on
+        TPU (`ops/permuto_cell.py`); falls back to its XLA formulation
+        elsewhere. Collision structure differs (cell-local vertex copies);
+        quality parity is tested in tests/test_permuto_cell.py.
+    Inputs to encode() are in the lattice's [0,1] space."""
+
+    def __init__(self, n_dims: int, res_list: Sequence, *,
+                 n_feats: int = 2, log2_hashmap_size: int = 18,
+                 backend: str = "xla", hashmap_rows: int = 4096,
+                 param_init_std: float = 1e-4, seed: int = 0):
+        self.backend = backend
+        if backend == "cell":
+            assert n_feats == 2, "cell backend packs 2 feats/vertex"
+            self.meta = _pcell.make_permuto_cell_meta(
+                n_dims, res_list, hashmap_rows=hashmap_rows)
+            shape = (self.meta.total_rows, _pcell.LANES)
+        else:
+            self.meta = _permuto.make_permuto_meta(
+                n_dims, res_list, n_feats, log2_hashmap_size)
+            shape = (self.meta.n_params,)
+        self.flattened_params = nnx.Param(
+            jax.random.uniform(jax.random.key(seed), shape, jnp.float32,
+                               -param_init_std, param_init_std))
+        self.out_features = self.meta.out_features
+
+    def encode(self, inp: Array, frozen_x: bool = False, ho: bool = False,
+               **kw) -> Array:
+        """ho=True: higher-order-differentiable path (eikonal/nablas-grad
+        training) — the cell backend's custom vjp is 1st-order only, so it
+        routes to its pure-XLA formulation there (cf. brick `ho`)."""
+        p = self.flattened_params[...]
+        batch = inp.shape[:-1]
+        flat = inp.reshape(-1, inp.shape[-1])
+        if self.backend == "cell":
+            if ho:
+                y = _pcell.permuto_cell_encode_xla(flat, p, self.meta)
+            else:
+                fn = (_pcell.permuto_cell_encode_frozen_x if frozen_x
+                      else _pcell.permuto_cell_encode)
+                y = fn(flat, p, self.meta)
+        else:
+            y = _permuto.permuto_encode(flat, p, self.meta, **kw)
+        return y.reshape(*batch, y.shape[-1])
+
+    def state_dict(self):
+        return {"flattened_params": self.flattened_params[...]}
+
+    def load_state_dict(self, sd):
+        self.flattened_params[...] = jnp.asarray(sd["flattened_params"])
 
 
 class PermutoEncoding(nnx.Module):

@@ -88,12 +88,15 @@ def make_permuto_meta(n_dims: int,
 
 
 # ---------------------------------------------------------------- lattice math
-def _simplex(x: Array, d: int):
-    """x: [N, d] (already scaled) → (keys [N, d+1, d] int32, bary [N, d+1]).
+def _simplex_parts(x: Array, d: int):
+    """x: [N, d] (already scaled) → (rem0 [N,d+1] float, rank [N,d+1] int32,
+    bary [N,d+1]).
 
-    The d+1 enclosing lattice vertices (their first d coordinates) and
-    barycentric weights.
-    """
+    The enclosing simplex's remainder-0 base point, the rank permutation
+    selecting which of the (d+1)! simplices of the rem0 cell contains x,
+    and the barycentric weights of its d+1 vertices. Shared by the direct
+    XLA encode (`permuto_encode`) and the cell-packed fast path
+    (`ops/permuto_cell.py`)."""
     n = x.shape[0]
     # elevate onto the sum-zero hyperplane H_d ⊂ R^{d+1}
     inv_std = (d + 1) * math.sqrt(2.0 / 3.0)
@@ -134,14 +137,29 @@ def _simplex(x: Array, d: int):
     rank = jnp.where(low, rank + dp1, jnp.where(high, rank - dp1, rank))
     rem0 = rem0 + jnp.where(low, dp1, 0.0) - jnp.where(high, dp1, 0.0)
 
-    # barycentric coordinates from the sorted differential
+    # barycentric coordinates from the sorted differential. One-hot
+    # arithmetic instead of per-point scatter-adds: XLA scatters issue at
+    # gather-like rates on TPU (~250M/s) and dominated the whole encode
+    # (measured 0.0011 GS/s with scatters; the simplex math is the hot
+    # prologue of the cell-packed kernel path).
     vdiff = (elevated - rem0) / dp1                               # [N, d+1]
-    bary = jnp.zeros((n, dp1 + 1), x.dtype)
-    bary = bary.at[jnp.arange(n)[:, None], d - rank].add(vdiff)
-    bary = bary.at[jnp.arange(n)[:, None], dp1 - rank].add(-vdiff)
-    b0 = bary[:, 0] + 1.0 + bary[:, dp1]
-    bary = bary.at[:, 0].set(b0)[:, :dp1]                         # [N, d+1]
+    j = jnp.arange(dp1 + 1, dtype=jnp.int32)                      # [d+2]
+    oh1 = ((d - rank)[..., None] == j).astype(x.dtype)            # [N,d+1,d+2]
+    oh2 = ((dp1 - rank)[..., None] == j).astype(x.dtype)
+    bary_full = jnp.sum((oh1 - oh2) * vdiff[..., None], axis=1)   # [N, d+2]
+    b0 = bary_full[:, 0] + 1.0 + bary_full[:, dp1]
+    bary = jnp.concatenate([b0[:, None], bary_full[:, 1:dp1]], -1)
+    return rem0, rank, bary
 
+
+def _simplex(x: Array, d: int):
+    """x: [N, d] (already scaled) → (keys [N, d+1, d] int32, bary [N, d+1]).
+
+    The d+1 enclosing lattice vertices (their first d coordinates) and
+    barycentric weights.
+    """
+    rem0, rank, bary = _simplex_parts(x, d)
+    dp1 = d + 1
     # the d+1 simplex vertices: vertex k has key[i] = rem0[i] + canonical
     # offset: +k where rank[i] < d+1-k else k-(d+1)
     ks = jnp.arange(dp1)[None, :, None]                           # [1,d+1,1]

@@ -1,0 +1,497 @@
+"""Cell-packed permutohedral encoding — the TPU-native fast path.
+
+The plain permuto encode (`ops/permuto.py`, reference csrc/permuto/
+permuto_enc_fwd) gathers d+1 narrow rows per (point, level); on TPU random
+gathers issue at ~0.94 G/s through one scalar pipe (docs/DESIGN.md §3), so
+4·L gathers/pt is 4× worse than the LoTD brick path's 1 row/(pt,level).
+
+This module applies the brick trick to the simplex lattice: hash the
+simplex's **remainder-0 base point** (the cell) to a table row, and give
+every one of the cell's 2^(d+1) possible vertex slots its own lane pair in
+that row. Any of the (d+1)! simplices of the cell reads its d+1 vertices
+from ONE gathered row — vertex k of the simplex selected by rank r sits at
+slot bitmask Σ_i [rank_i ≥ d+1−k]·2^i (a popcount-k subset of the d+1
+elevated coordinates). Vertices shared between neighboring cells become
+independent copies, the same capacity/speed trade the brick hash levels
+make (hash features are already collision-discontinuous).
+
+Row layout: 128 lanes = C cells × 2^(d+1) slots × 2 feats, C = 128/(2^{d+2})
+(3D: 4 cells/row, 4D: 2, 2D: 8) — no lane is wasted.
+
+Reference for behavior being replaced: csrc/permuto/src/permuto.cpp:46-73 +
+permuto_kernels; this is a from-scratch TPU design, not a translation.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+from functools import cached_property
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nr3d_lib_tpu.ops.lotd import HASH_PRIMES
+from nr3d_lib_tpu.ops.permuto import _simplex_parts
+
+__all__ = ["PermutoCellMeta", "make_permuto_cell_meta",
+           "permuto_cell_encode", "permuto_cell_encode_frozen_x",
+           "permuto_cell_encode_xla"]
+
+Array = jax.Array
+
+LANES = 128
+N_FEAT = 2
+
+
+@dataclass(frozen=True)
+class PermutoCellLevel:
+    scale: Tuple[float, ...]          # per-axis lattice scale
+    n_rows: int
+    row_offset: int
+
+
+@dataclass(frozen=True)
+class PermutoCellMeta:
+    n_dims: int
+    levels: Tuple[PermutoCellLevel, ...]
+
+    @cached_property
+    def n_slots(self) -> int:                      # vertex slots per cell
+        return 1 << (self.n_dims + 1)
+
+    @cached_property
+    def cells_per_row(self) -> int:
+        return LANES // (self.n_slots * N_FEAT)
+
+    @cached_property
+    def stride(self) -> int:
+        """Packed-lane stride per level: (d+1+pad) vertices × 2 feats,
+        rounded up to a power of two so in-kernel lane→(level, vertex)
+        decoding is shift/mask arithmetic."""
+        return 1 << math.ceil(math.log2((self.n_dims + 1) * N_FEAT))
+
+    @cached_property
+    def vp(self) -> int:                           # padded vertices/level
+        return self.stride // N_FEAT
+
+    @cached_property
+    def levels_per_call(self) -> int:
+        return LANES // self.stride
+
+    @cached_property
+    def n_levels(self) -> int:
+        return len(self.levels)
+
+    @cached_property
+    def total_rows(self) -> int:
+        return sum(l.n_rows for l in self.levels)
+
+    @cached_property
+    def n_params(self) -> int:
+        return self.total_rows * LANES
+
+    @cached_property
+    def out_features(self) -> int:
+        return N_FEAT * self.n_levels
+
+
+def make_permuto_cell_meta(n_dims: int,
+                           res_list: Sequence[Union[float, Sequence[float]]],
+                           hashmap_rows: int = 4096) -> PermutoCellMeta:
+    """hashmap_rows: rows per level (capacity = rows · cells_per_row cells,
+    each holding 2^(d+1) vertex-feature pairs)."""
+    if not 2 <= n_dims <= 5:
+        raise ValueError(f"n_dims must be in [2, 5], got {n_dims}")
+    levels: List[PermutoCellLevel] = []
+    off = 0
+    for s in res_list:
+        scale = (float(s),) * n_dims if np.isscalar(s) \
+            else tuple(float(v) for v in s)
+        levels.append(PermutoCellLevel(scale, int(hashmap_rows), off))
+        off += int(hashmap_rows)
+    return PermutoCellMeta(n_dims, tuple(levels))
+
+
+# ------------------------------------------------------------------ indexing
+def _level_rows_lanes_bary(x: Array, level: PermutoCellLevel,
+                           meta: PermutoCellMeta):
+    """Per-point (row [N] i32, lane of vertex-k feat-0 [N, Vp] i32,
+    bary [N, Vp]) for one level; k ≥ d+1 slots get bary 0."""
+    d = meta.n_dims
+    scaled = x * jnp.asarray(level.scale, x.dtype)
+    rem0, rank, bary = _simplex_parts(scaled, d)          # [N,d+1] each
+    rem0_i = jax.lax.stop_gradient(rem0).astype(jnp.int32)
+    h = rem0_i[..., 0].astype(jnp.uint32) * jnp.uint32(HASH_PRIMES[0])
+    for i in range(1, d):                                  # first d coords
+        h = h ^ (rem0_i[..., i].astype(jnp.uint32)
+                 * jnp.uint32(HASH_PRIMES[i % 7]))
+    c = meta.cells_per_row
+    idx = (h % jnp.uint32(level.n_rows * c)).astype(jnp.int32)
+    row = idx // c + level.row_offset
+    lane_base = (idx % c) * (meta.n_slots * N_FEAT)        # [N]
+
+    dp1 = d + 1
+    ks = jnp.arange(dp1, dtype=jnp.int32)                  # vertex index k
+    cond = rank[:, None, :] >= (dp1 - ks[None, :, None])   # [N,d+1,d+1]
+    slot = jnp.sum(cond.astype(jnp.int32)
+                   * (1 << jnp.arange(dp1, dtype=jnp.int32))[None, None, :],
+                   axis=-1)                                # [N, d+1]
+    lane = lane_base[:, None] + slot * N_FEAT              # [N, d+1]
+    vp = meta.vp
+    if vp > dp1:
+        lane = jnp.pad(lane, ((0, 0), (0, vp - dp1)))
+        bary = jnp.pad(bary, ((0, 0), (0, vp - dp1)))
+    return row.astype(jnp.int32), lane.astype(jnp.int32), bary
+
+
+# ------------------------------------------------------------- XLA reference
+def permuto_cell_encode_xla(x: Array, table: Array, meta: PermutoCellMeta,
+                            level_weights: Optional[Array] = None) -> Array:
+    """Pure-XLA implementation of the cell layout (tests, CPU execution,
+    higher-order autodiff fallback). table: [total_rows, 128] → [N, 2L]."""
+    outs = []
+    for li, level in enumerate(meta.levels):
+        row, lane, bary = _level_rows_lanes_bary(x, level, meta)
+        rows = jnp.take(table, row, axis=0, mode="clip")   # [N,128]
+        f0 = jnp.take_along_axis(rows, lane, axis=1)       # [N,Vp]
+        f1 = jnp.take_along_axis(rows, lane + 1, axis=1)
+        w = bary.astype(rows.dtype)
+        y0 = jnp.sum(w * f0, -1)
+        y1 = jnp.sum(w * f1, -1)
+        if level_weights is not None:
+            y0 = y0 * level_weights[li].astype(y0.dtype)
+            y1 = y1 * level_weights[li].astype(y1.dtype)
+        outs.append(y0)
+        outs.append(y1)
+    return jnp.stack(outs, axis=-1)
+
+
+# --------------------------------------------------------------- pallas path
+def _prologue(x: Array, meta: PermutoCellMeta, dtype,
+              levels: Sequence[PermutoCellLevel]):
+    rows, lanes, barys = [], [], []
+    for level in levels:
+        r, l, b = _level_rows_lanes_bary(x, level, meta)
+        rows.append(r)
+        lanes.append(l)
+        barys.append(b)
+    n = x.shape[0]
+    lc = len(levels)
+    row_arr = jnp.stack(rows)                              # [Lc, N]
+    lane_c = jnp.concatenate(lanes, -1)                    # [N, Lc·Vp]
+    bary_c = jnp.concatenate(barys, -1).astype(dtype)      # [N, Lc·Vp]
+    return row_arr, lane_c, bary_c
+
+
+def _reduce_matrix(meta: PermutoCellMeta, lc: int) -> np.ndarray:
+    """[128, 2·Lc]: packed lane l·stride + k·2 + f sums into col l·2+f
+    (zero rows for lanes ≥ Lc·stride and padded vertices)."""
+    m = np.zeros((LANES, 2 * lc), np.float32)
+    stride = meta.stride
+    for lane in range(lc * stride):
+        q = lane % stride
+        k = q >> 1
+        if k <= meta.n_dims:                               # real vertex
+            m[lane, (lane // stride) * 2 + (q & 1)] = 1.0
+    return m
+
+
+def _gather_phase(lc, tile, rows_ref, table_ref, scratch_ref):
+    """Unrolled scalar row gather (same tuning as the brick kernel:
+    point-outer × 64 unroll, measured 1.76 cyc/row — lotd_brick.py)."""
+    from jax.experimental import pallas as pl
+
+    INNER = 64
+
+    def gather_body(i, _):
+        base = i * INNER
+        for k in range(INNER):
+            n = base + k
+            for l in range(lc):
+                scratch_ref[pl.ds(l * tile + n, 1), :] = \
+                    table_ref[pl.ds(rows_ref[l, n], 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, tile // INNER, gather_body, 0)
+
+
+def _packed_lanes(meta, lc, tile, lane_ref, bary_ref, scratch_ref):
+    """Extraction: (g [tile,128], w [tile,128]) with packed lane =
+    level·stride + vertex·2 + feat; garbage lanes carry w = 0 via the
+    bary padding + the reduce matrix's zero rows."""
+    from jax.experimental import pallas as pl
+
+    stride = meta.stride
+    shift = stride.bit_length() - 1
+    vp = meta.vp
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+    lvl = jnp.minimum(lane_i >> shift, lc - 1)
+    q = lane_i & (stride - 1)
+    k = q >> 1
+    f = q & 1
+
+    sel = jnp.minimum(lvl * vp + k, LANES - 1)
+    lane_pad = jnp.pad(lane_ref[:],
+                       ((0, 0), (0, LANES - lane_ref.shape[1])))
+    wanted = jnp.take_along_axis(lane_pad, sel, axis=1) + f
+    bary_pad = jnp.pad(bary_ref[:],
+                       ((0, 0), (0, LANES - bary_ref.shape[1])))
+    w = jnp.take_along_axis(bary_pad, sel, axis=1)
+
+    g = jnp.zeros((tile, LANES), scratch_ref.dtype)
+    for l in range(lc):
+        rows = scratch_ref[pl.ds(l * tile, tile), :]
+        g_l = jnp.take_along_axis(rows, wanted, axis=1)
+        g = jnp.where(lvl == l, g_l, g)
+    return g, w
+
+
+def _fwd_kernel(meta: PermutoCellMeta, lc: int, tile: int,
+                rows_ref, lane_ref, bary_ref, table_ref, m_ref,
+                out_ref, scratch_ref):
+    _gather_phase(lc, tile, rows_ref, table_ref, scratch_ref)
+    g, w = _packed_lanes(meta, lc, tile, lane_ref, bary_ref, scratch_ref)
+    out_ref[:, :] = jnp.dot(g * w, m_ref[:],
+                            preferred_element_type=jnp.float32
+                            ).astype(out_ref.dtype)
+
+
+def _bwd_kernel(meta: PermutoCellMeta, lc: int, tile: int,
+                rows_ref, lane_ref, bary_ref, gup_ref,
+                dtab_ref, scratch_ref):
+    """dL/dtable scatter-accumulate (positions frozen — the dynamic/
+    conditional radiance-field training case; reference permuto_enc_bwd
+    without need_input_grad). Contribution of point n to its level-l row:
+    bary_k·gup[n, 2l+f] at lane lane_k+f — staged per level as a one-hot
+    slab (d+1 ≤ 5 compares per feat), then row scatter-add."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dtab_ref[:, :] = jnp.zeros_like(dtab_ref)
+
+    vp = meta.vp
+    d = meta.n_dims
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+    lane_pad = jnp.pad(lane_ref[:],
+                       ((0, 0), (0, LANES - lane_ref.shape[1])))
+    bary_pad = jnp.pad(bary_ref[:],
+                       ((0, 0), (0, LANES - bary_ref.shape[1])))
+    gup_pad = jnp.pad(gup_ref[:], ((0, 0), (0, LANES - gup_ref.shape[1])))
+
+    for l in range(lc):
+        slab = jnp.zeros((tile, LANES), dtab_ref.dtype)
+        g0 = jnp.take_along_axis(
+            gup_pad, jnp.full((tile, LANES), 2 * l, jnp.int32), axis=1)
+        g1 = jnp.take_along_axis(
+            gup_pad, jnp.full((tile, LANES), 2 * l + 1, jnp.int32), axis=1)
+        for k in range(d + 1):
+            sel = jnp.full((tile, LANES), l * vp + k, jnp.int32)
+            lk = jnp.take_along_axis(lane_pad, sel, axis=1)
+            bk = jnp.take_along_axis(bary_pad, sel, axis=1)
+            slab = slab + jnp.where(lane_i == lk, bk * g0, 0.0)
+            slab = slab + jnp.where(lane_i == lk + 1, bk * g1, 0.0)
+        scratch_ref[pl.ds(l * tile, tile), :] = slab
+
+    INNER = 64
+
+    def scatter_body(i, _):
+        base = i * INNER
+        for kk in range(INNER):
+            n = base + kk
+            for l in range(lc):
+                r = rows_ref[l, n]
+                dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
+                    scratch_ref[pl.ds(l * tile + n, 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, tile // INNER, scatter_body, 0)
+
+
+_MAX_CHUNK = 1 << 19
+
+
+def _pad_points(x: Array, tile: int):
+    n = x.shape[0]
+    n_pad = -(-n // tile) * tile
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)), constant_values=0.5)
+    return x, n
+
+
+def _level_groups(meta: PermutoCellMeta):
+    lpc = meta.levels_per_call
+    return [meta.levels[i:i + lpc] for i in range(0, meta.n_levels, lpc)]
+
+
+def _encode_pallas(x: Array, table: Array, meta: PermutoCellMeta,
+                   tile: int = 2048, interpret: bool = False) -> Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n0 = x.shape[0]
+    if n0 > _MAX_CHUNK:
+        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
+        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)),
+                     constant_values=0.5)
+        return jnp.concatenate(
+            [_encode_pallas(xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
+                            table, meta, tile, interpret)
+             for i in range(k)], axis=0)[:n0]
+    x, n = _pad_points(x, tile)
+    n_pad = x.shape[0]
+    outs = []
+    for gi, group in enumerate(_level_groups(meta)):
+        lc = len(group)
+        base = group[0].row_offset
+        g_rows = sum(l.n_rows for l in group)
+        table_g = jax.lax.dynamic_slice_in_dim(table, base, g_rows, axis=0)
+        rows, lane_c, bary_c = _prologue(x, meta, table.dtype, group)
+        rows = rows - base
+        m = jnp.asarray(_reduce_matrix(meta, lc), table.dtype)
+        kernel = functools.partial(_fwd_kernel, meta, lc, tile)
+        y = pl.pallas_call(
+            kernel,
+            grid=(n_pad // tile,),
+            in_specs=[
+                pl.BlockSpec((lc, tile), lambda i: (0, i),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, lane_c.shape[1]), lambda i: (i, 0)),
+                pl.BlockSpec((tile, bary_c.shape[1]), lambda i: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, 2 * lc), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_pad, 2 * lc), table.dtype),
+            scratch_shapes=[pltpu.VMEM((lc * tile, LANES), table.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(rows, lane_c, bary_c, table_g, m)
+        outs.append(y[:n])
+    return jnp.concatenate(outs, -1) if len(outs) > 1 else outs[0]
+
+
+def _bwd_table_pallas(g_up: Array, x: Array, meta: PermutoCellMeta,
+                      dtype, tile: int = 2048,
+                      interpret: bool = False) -> Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    table_shape = (meta.total_rows, LANES)
+    n0 = x.shape[0]
+    if n0 > _MAX_CHUNK:
+        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
+        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)),
+                     constant_values=0.5)
+        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        out = jnp.zeros(table_shape, dtype)
+        for i in range(k):
+            sl = slice(i * _MAX_CHUNK, (i + 1) * _MAX_CHUNK)
+            out = out + _bwd_table_pallas(gp[sl], xp[sl], meta, dtype,
+                                          tile, interpret)
+        return out
+    x, n = _pad_points(x, tile)
+    n_pad = x.shape[0]
+    if g_up.shape[0] != n_pad:
+        g_up = jnp.pad(g_up, ((0, n_pad - g_up.shape[0]), (0, 0)))
+    dtab = jnp.zeros(table_shape, dtype)
+    for gi, group in enumerate(_level_groups(meta)):
+        lc = len(group)
+        base = group[0].row_offset
+        g_rows = sum(l.n_rows for l in group)
+        rows, lane_c, bary_c = _prologue(x, meta, dtype, group)
+        rows = rows - base
+        gup_g = jax.lax.dynamic_slice_in_dim(
+            g_up, 2 * gi * meta.levels_per_call, 2 * lc, axis=1)
+        kernel = functools.partial(_bwd_kernel, meta, lc, tile)
+        d = pl.pallas_call(
+            kernel,
+            grid=(n_pad // tile,),
+            in_specs=[
+                pl.BlockSpec((lc, tile), lambda i: (0, i),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, lane_c.shape[1]), lambda i: (i, 0)),
+                pl.BlockSpec((tile, bary_c.shape[1]), lambda i: (i, 0)),
+                pl.BlockSpec((tile, 2 * lc), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((g_rows, LANES), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((g_rows, LANES), dtype),
+            scratch_shapes=[pltpu.VMEM((lc * tile, LANES), dtype)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(rows, lane_c, bary_c, gup_g)
+        dtab = dtab.at[base:base + g_rows].set(d)   # groups are disjoint
+    return dtab
+
+
+# ----------------------------------------------------------------- public ops
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def permuto_cell_encode(x: Array, table: Array,
+                        meta: PermutoCellMeta) -> Array:
+    """Cell-packed permuto encode: Pallas on TPU, XLA elsewhere. Backward:
+    Pallas dL/dtable scatter + XLA dL/dx (the x-gradient re-derives bary
+    jacobians; kernelizing it is a follow-up — reference permuto.py:168
+    PermutoEncBwdInputFunction)."""
+    if _use_pallas():
+        return _encode_pallas(x, table, meta)
+    return permuto_cell_encode_xla(x, table, meta)
+
+
+def _enc_fwd(x, table, meta):
+    return permuto_cell_encode(x, table, meta), (x, table)
+
+
+def _enc_bwd(meta, res, g):
+    x, table = res
+    if _use_pallas():
+        d_tab = _bwd_table_pallas(g, x, meta, table.dtype)
+        # dL/dx through bary only (table entries are constants wrt x)
+        _, vjp_x = jax.vjp(
+            lambda xx: permuto_cell_encode_xla(xx, table, meta), x)
+        d_x = vjp_x(g)[0]
+        return d_x, d_tab
+    _, vjp_fn = jax.vjp(
+        lambda xx, tt: permuto_cell_encode_xla(xx, tt, meta), x, table)
+    return vjp_fn(g)
+
+
+permuto_cell_encode.defvjp(_enc_fwd, _enc_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def permuto_cell_encode_frozen_x(x: Array, table: Array,
+                                 meta: PermutoCellMeta) -> Array:
+    """Encode treating x as constant: the backward runs ONLY the Pallas
+    table scatter (no bary-jacobian pass) — the dynamic/conditional
+    radiance-field training fast path (positions carry no gradient)."""
+    if _use_pallas():
+        return _encode_pallas(x, table, meta)
+    return permuto_cell_encode_xla(x, table, meta)
+
+
+def _fz_fwd(x, table, meta):
+    return permuto_cell_encode_frozen_x(x, table, meta), (x, table)
+
+
+def _fz_bwd(meta, res, g):
+    x, table = res
+    if _use_pallas():
+        d_tab = _bwd_table_pallas(g, x, meta, table.dtype)
+        return jnp.zeros_like(x), d_tab
+    _, vjp_fn = jax.vjp(
+        lambda tt: permuto_cell_encode_xla(x, tt, meta), table)
+    return jnp.zeros_like(x), vjp_fn(g)[0]
+
+
+permuto_cell_encode_frozen_x.defvjp(_fz_fwd, _fz_bwd)

@@ -1,0 +1,153 @@
+"""Cell-packed permuto fast path (ops/permuto_cell.py — the brick trick
+applied to the simplex lattice; reference csrc/permuto kernels)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nr3d_lib_tpu.ops import permuto_cell as PC
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _meta(d=3, res=(4.0, 8.0, 16.0), rows=512):
+    return PC.make_permuto_cell_meta(d, list(res), hashmap_rows=rows)
+
+
+def test_layout_invariants():
+    for d in (2, 3, 4):
+        meta = PC.make_permuto_cell_meta(d, [4.0, 8.0], hashmap_rows=64)
+        assert meta.n_slots == 2 ** (d + 1)
+        assert meta.cells_per_row * meta.n_slots * PC.N_FEAT == PC.LANES
+        assert meta.stride >= (d + 1) * PC.N_FEAT
+        assert meta.levels_per_call * meta.stride <= PC.LANES
+
+
+def test_xla_encode_continuity(rng):
+    """The encode must be continuous across simplex boundaries: two nearby
+    points straddling a boundary give nearby outputs (barycentric weights
+    of exiting vertices → 0 at the face)."""
+    meta = _meta()
+    table = jnp.asarray(rng.standard_normal((meta.total_rows, 128))
+                        .astype(np.float32))
+    x0 = jnp.asarray(rng.uniform(0.05, 0.95, (256, 3)).astype(np.float32))
+    eps = 5e-6
+    dx = jnp.asarray(rng.standard_normal((256, 3)).astype(np.float32)) * eps
+    y0 = PC.permuto_cell_encode_xla(x0, table, meta)
+    y1 = PC.permuto_cell_encode_xla(x0 + dx, table, meta)
+    # max lattice scale 16: feature Lipschitz ~ scale·|table|; 5e-6 step
+    # must move outputs by ≪ 1e-2
+    assert float(jnp.max(jnp.abs(y1 - y0))) < 1e-2
+
+
+def test_pallas_interpret_parity(rng):
+    """Kernel (interpret mode) vs the XLA formulation, incl. a >1-group
+    level count (forces level chunking)."""
+    for d, res in [(3, [3.0, 5.0, 9.0]), (2, [4.0, 8.0]),
+                   (4, [3.0, 5.0]),
+                   (3, [float(2 ** (1 + 0.3 * i)) for i in range(18)])]:
+        meta = PC.make_permuto_cell_meta(d, res, hashmap_rows=256)
+        table = jnp.asarray(rng.standard_normal((meta.total_rows, 128))
+                            .astype(np.float32))
+        x = jnp.asarray(rng.uniform(0.0, 1.0, (512, d)).astype(np.float32))
+        y_ref = PC.permuto_cell_encode_xla(x, table, meta)
+        y_k = PC._encode_pallas(x, table, meta, tile=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"d={d} L={len(res)}")
+
+
+def test_pallas_backward_interpret_parity(rng):
+    meta = _meta(res=(3.0, 6.0), rows=128)
+    table = jnp.asarray(rng.standard_normal((meta.total_rows, 128))
+                        .astype(np.float32))
+    x = jnp.asarray(rng.uniform(0.0, 1.0, (512, 3)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((512, 4)).astype(np.float32))
+    _, vjp_fn = jax.vjp(
+        lambda tt: PC.permuto_cell_encode_xla(x, tt, meta), table)
+    dtab_ref = vjp_fn(g)[0]
+    dtab_k = PC._bwd_table_pallas(g, x, meta, jnp.float32, tile=256,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(dtab_k), np.asarray(dtab_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_custom_vjp_cpu_matches_autodiff(rng):
+    meta = _meta(res=(3.0, 7.0), rows=128)
+    table = jnp.asarray(rng.standard_normal((meta.total_rows, 128))
+                        .astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.uniform(0.1, 0.9, (64, 3)).astype(np.float32))
+
+    def loss_c(xx, tt):
+        return jnp.sum(PC.permuto_cell_encode(xx, tt, meta) ** 2)
+
+    def loss_p(xx, tt):
+        return jnp.sum(PC.permuto_cell_encode_xla(xx, tt, meta) ** 2)
+
+    gc = jax.grad(loss_c, argnums=(0, 1))(x, table)
+    gp = jax.grad(loss_p, argnums=(0, 1))(x, table)
+    for a, b in zip(gc, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # frozen-x: table grad identical, x grad zero by construction
+    def loss_f(xx, tt):
+        return jnp.sum(PC.permuto_cell_encode_frozen_x(xx, tt, meta) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1))(x, table)
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gp[1]),
+                               rtol=1e-5, atol=1e-6)
+    assert float(jnp.sum(jnp.abs(gf[0]))) == 0.0
+
+
+def test_fit_quality_vs_classic_permuto(rng):
+    """Cell-local vertex copies change hash-collision structure, not
+    expressive power: fitting a smooth 3D target with the same budget must
+    reach a loss in the same ballpark as the classic permuto encode."""
+    import optax
+
+    from nr3d_lib_tpu.ops import permuto as P
+
+    def target(x):
+        return (jnp.sin(3.0 * x[..., 0]) * jnp.cos(5.0 * x[..., 1])
+                + jnp.sin(4.0 * x[..., 2]))[..., None]
+
+    xs = jnp.asarray(rng.uniform(0, 1, (4096, 3)).astype(np.float32))
+    ys = target(xs)
+
+    def fit(encode, params, n_iter=150):
+        w = jnp.asarray(rng.standard_normal((8, 1)).astype(np.float32)) * 0.1
+        opt = optax.adam(3e-2)
+        st = opt.init((params, w))
+
+        def loss(pw):
+            p, ww = pw
+            return jnp.mean((encode(xs, p) @ ww - ys) ** 2)
+
+        @jax.jit
+        def step(pw, st):
+            l, g = jax.value_and_grad(loss)(pw)
+            up, st = opt.update(g, st)
+            return optax.apply_updates(pw, up), st, l
+
+        pw = (params, w)
+        for _ in range(n_iter):
+            pw, st, l = step(pw, st)
+        return float(l)
+
+    res = [8.0, 16.0, 32.0, 64.0]
+    cmeta = PC.make_permuto_cell_meta(3, res, hashmap_rows=512)
+    ctab = jnp.asarray(rng.standard_normal(
+        (cmeta.total_rows, 128)).astype(np.float32)) * 1e-3
+    l_cell = fit(lambda x, p: PC.permuto_cell_encode(x, p, cmeta), ctab)
+
+    pmeta = P.make_permuto_meta(3, res, n_feats=2, log2_hashmap_size=14)
+    ptab = jnp.asarray(rng.standard_normal(
+        (pmeta.n_params,)).astype(np.float32)) * 1e-3
+    l_classic = fit(lambda x, p: P.permuto_encode(x, p, pmeta), ptab)
+
+    assert l_cell < max(3.0 * l_classic, 1e-3), (l_cell, l_classic)
