@@ -140,6 +140,44 @@ def main():
     detail["pct_of_issue_ceiling_random"] = round(
         100 * detail["fwd_random_gs"] / 0.117, 1)
 
+    # the second flagship encoding: cell-packed permuto (ops/permuto_cell.py
+    # — 1 gather/(pt,level); reference csrc/permuto). Same 8-level, 3.6M-pt
+    # workload shape.
+    try:
+        from nr3d_lib_tpu.ops import permuto_cell as PC
+
+        pmeta = PC.make_permuto_cell_meta(
+            3, [16.0 * 2 ** (0.5 * i) for i in range(8)], hashmap_rows=4096)
+        ptab = jax.random.normal(jax.random.key(7),
+                                 (pmeta.total_rows, 128), jnp.float32) * 1e-2
+
+        def permuto_fwd(xx, tt, coherent):
+            return PC.permuto_cell_encode(xx, tt, pmeta)
+
+        def pchain(n):
+            def chained(c, x0, tt):
+                def body(i, carry):
+                    cc, acc = carry
+                    s = jnp.sum(permuto_fwd(x0 * (1.0 + cc * 1e-30), tt,
+                                            False).astype(jnp.float32))
+                    return s * 1e-30, acc + s
+
+                return jax.lax.fori_loop(0, n, body, (c, 0.0))[1]
+
+            return jax.jit(chained)
+
+        lo, hi = pchain(1), pchain(4)
+        float(lo(0.0, x_rand, ptab))
+        float(hi(0.0, x_rand, ptab))
+        t_lo = min(_timed(lo, x_rand, ptab) for _ in range(2))
+        t_hi = min(_timed(hi, x_rand, ptab) for _ in range(2))
+        detail["permuto_cell_fwd_gs"] = round(
+            n_pts / ((t_hi - t_lo) / 3) / 1e9, 4)
+        print(f"# permuto_cell_fwd_gs = {detail['permuto_cell_fwd_gs']}",
+              file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"# permuto bench skipped: {e}", file=sys.stderr, flush=True)
+
     # end-to-end renderer throughput (the metric the renderer design
     # optimizes — occupancy compression cuts the NUMBER of gathers; see
     # docs/DESIGN.md §3 consequences). Round-1 march_occ+XLA: 50.4 Krays/s.

@@ -145,7 +145,7 @@ def _level_rows_lanes_bary(x: Array, level: PermutoCellLevel,
     if vp > dp1:
         lane = jnp.pad(lane, ((0, 0), (0, vp - dp1)))
         bary = jnp.pad(bary, ((0, 0), (0, vp - dp1)))
-    return row.astype(jnp.int32), lane.astype(jnp.int32), bary
+    return row.astype(jnp.int32), lane.astype(jnp.int32), bary, rank
 
 
 # ------------------------------------------------------------- XLA reference
@@ -155,7 +155,7 @@ def permuto_cell_encode_xla(x: Array, table: Array, meta: PermutoCellMeta,
     higher-order autodiff fallback). table: [total_rows, 128] → [N, 2L]."""
     outs = []
     for li, level in enumerate(meta.levels):
-        row, lane, bary = _level_rows_lanes_bary(x, level, meta)
+        row, lane, bary, _ = _level_rows_lanes_bary(x, level, meta)
         rows = jnp.take(table, row, axis=0, mode="clip")   # [N,128]
         f0 = jnp.take_along_axis(rows, lane, axis=1)       # [N,Vp]
         f1 = jnp.take_along_axis(rows, lane + 1, axis=1)
@@ -175,7 +175,7 @@ def _prologue(x: Array, meta: PermutoCellMeta, dtype,
               levels: Sequence[PermutoCellLevel]):
     rows, lanes, barys = [], [], []
     for level in levels:
-        r, l, b = _level_rows_lanes_bary(x, level, meta)
+        r, l, b, _ = _level_rows_lanes_bary(x, level, meta)
         rows.append(r)
         lanes.append(l)
         barys.append(b)
@@ -283,6 +283,118 @@ def _bwd_kernel(meta: PermutoCellMeta, lc: int, tile: int,
                        ((0, 0), (0, LANES - bary_ref.shape[1])))
     gup_pad = jnp.pad(gup_ref[:], ((0, 0), (0, LANES - gup_ref.shape[1])))
 
+    for l in range(lc):
+        slab = jnp.zeros((tile, LANES), dtab_ref.dtype)
+        g0 = jnp.take_along_axis(
+            gup_pad, jnp.full((tile, LANES), 2 * l, jnp.int32), axis=1)
+        g1 = jnp.take_along_axis(
+            gup_pad, jnp.full((tile, LANES), 2 * l + 1, jnp.int32), axis=1)
+        for k in range(d + 1):
+            sel = jnp.full((tile, LANES), l * vp + k, jnp.int32)
+            lk = jnp.take_along_axis(lane_pad, sel, axis=1)
+            bk = jnp.take_along_axis(bary_pad, sel, axis=1)
+            slab = slab + jnp.where(lane_i == lk, bk * g0, 0.0)
+            slab = slab + jnp.where(lane_i == lk + 1, bk * g1, 0.0)
+        scratch_ref[pl.ds(l * tile, tile), :] = slab
+
+    INNER = 64
+
+    def scatter_body(i, _):
+        base = i * INNER
+        for kk in range(INNER):
+            n = base + kk
+            for l in range(lc):
+                r = rows_ref[l, n]
+                dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
+                    scratch_ref[pl.ds(l * tile + n, 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, tile // INNER, scatter_body, 0)
+
+
+def _dx_weight_matrix(meta: PermutoCellMeta,
+                      group: Sequence[PermutoCellLevel]) -> np.ndarray:
+    """[128, n_dims] matrix turning the packed dL/delevated lanes
+    (lane = level·Vp + i) into dL/dx via one MXU reduce. Folds the
+    elevation Jacobian M_ia = [a ≥ i] − i·[a == i−1] (ops/permuto.py
+    recurrence), the hyperplane scale sf_a, the per-level lattice scale,
+    and the barycentric 1/(d+1)."""
+    d = meta.n_dims
+    inv_std = (d + 1) * math.sqrt(2.0 / 3.0)
+    sf = np.asarray([1.0 / math.sqrt((a + 1) * (a + 2)) for a in range(d)],
+                    np.float64) * inv_std
+    m = np.zeros((LANES, d), np.float32)
+    vp = meta.vp
+    for li, level in enumerate(group):
+        for i in range(d + 1):
+            lane = li * vp + i
+            if lane >= LANES:
+                break
+            for a in range(d):
+                M_ia = (1.0 if a >= i else 0.0) - (i if a == i - 1 else 0.0)
+                m[lane, a] = M_ia * sf[a] * level.scale[a] / (d + 1)
+    return m
+
+
+def _dx_selectors(meta: PermutoCellMeta, rank: Array, li: int) -> Tuple[Array, Array]:
+    """Packed-lane indices of gf[t1] / gf[t2] for level li's delev lanes.
+
+    rank: [N, d+1]. Returns (sel1, sel2) [N, d+1] int32 pointing at the
+    even feat-lane of the selected vertex in the packed layout."""
+    d = meta.n_dims
+    t1 = d - rank                                     # ∈ [0, d]
+    t2 = jnp.where(rank == 0, 0, d + 1 - rank)
+    base = li * meta.stride
+    return (base + t1 * N_FEAT).astype(jnp.int32), \
+        (base + t2 * N_FEAT).astype(jnp.int32)
+
+
+def _bwd_full_kernel(meta: PermutoCellMeta, lc: int, tile: int,
+                     rows_ref, lane_ref, bary_ref, gup_ref,
+                     sel1_ref, sel2_ref, wmat_ref, table_ref,
+                     dtab_ref, dx_ref, scratch_ref):
+    """Full backward: dL/dtable scatter + dL/dx in one kernel (the
+    reference permuto_enc_bwd with need_input_grad — EmerNeRF flow-warp
+    training differentiates the encode wrt its warped positions).
+
+    dL/delev_i = (gf[d−rank_i] − gf[(d+1−rank_i) mod (d+1)])/(d+1) with
+    gf_k = Σ_f gup[l,f]·feat_{k,f}; dx = delev @ wmat (elevation Jacobian
+    × per-level scales folded into one MXU matmul, `_dx_weight_matrix`).
+    sel1/sel2: [tile, 128] packed-lane indices from `_dx_selectors`,
+    garbage lanes masked by wmat's zero rows."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dtab_ref[:, :] = jnp.zeros_like(dtab_ref)
+
+    stride = meta.stride
+    shift = stride.bit_length() - 1
+    vp = meta.vp
+    d = meta.n_dims
+    _gather_phase(lc, tile, rows_ref, table_ref, scratch_ref)
+    g, w = _packed_lanes(meta, lc, tile, lane_ref, bary_ref, scratch_ref)
+
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+    lvl = jnp.minimum(lane_i >> shift, lc - 1)
+    f = lane_i & 1
+    gup_pad = jnp.pad(gup_ref[:], ((0, 0), (0, LANES - gup_ref.shape[1])))
+    gb = jnp.take_along_axis(gup_pad, lvl * 2 + f, axis=1)
+
+    # ---- dx: gf summed over the feat pair, then rank-dependent selection
+    gbg = gb * g
+    gfsum = gbg + jnp.take_along_axis(gbg, lane_i ^ 1, axis=1)
+    delev = (jnp.take_along_axis(gfsum, sel1_ref[:], axis=1)
+             - jnp.take_along_axis(gfsum, sel2_ref[:], axis=1))
+    dx_ref[:, :] = jnp.dot(delev, wmat_ref[:],
+                           preferred_element_type=jnp.float32
+                           ).astype(dx_ref.dtype)
+
+    # ---- dtable: same staging as the frozen backward
+    lane_pad = jnp.pad(lane_ref[:],
+                       ((0, 0), (0, LANES - lane_ref.shape[1])))
+    bary_pad = jnp.pad(bary_ref[:],
+                       ((0, 0), (0, LANES - bary_ref.shape[1])))
     for l in range(lc):
         slab = jnp.zeros((tile, LANES), dtab_ref.dtype)
         g0 = jnp.take_along_axis(
@@ -431,6 +543,96 @@ def _bwd_table_pallas(g_up: Array, x: Array, meta: PermutoCellMeta,
     return dtab
 
 
+def _bwd_full_pallas(g_up: Array, x: Array, table: Array,
+                     meta: PermutoCellMeta, tile: int = 2048,
+                     interpret: bool = False) -> Tuple[Array, Array]:
+    """Full backward (dx, dtable) via `_bwd_full_kernel`."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = meta.n_dims
+    n0 = x.shape[0]
+    if n0 > _MAX_CHUNK:
+        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
+        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)),
+                     constant_values=0.5)
+        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        dxs, dtab = [], jnp.zeros((meta.total_rows, LANES), table.dtype)
+        for i in range(k):
+            sl = slice(i * _MAX_CHUNK, (i + 1) * _MAX_CHUNK)
+            a, b = _bwd_full_pallas(gp[sl], xp[sl], table, meta, tile,
+                                    interpret)
+            dxs.append(a)
+            dtab = dtab + b
+        return jnp.concatenate(dxs)[:n0], dtab
+    x, n = _pad_points(x, tile)
+    n_pad = x.shape[0]
+    if g_up.shape[0] != n_pad:
+        g_up = jnp.pad(g_up, ((0, n_pad - g_up.shape[0]), (0, 0)))
+    dx_total = jnp.zeros((n_pad, d), table.dtype)
+    dtab = jnp.zeros((meta.total_rows, LANES), table.dtype)
+    for gi, group in enumerate(_level_groups(meta)):
+        lc = len(group)
+        base = group[0].row_offset
+        g_rows = sum(l.n_rows for l in group)
+        table_g = jax.lax.dynamic_slice_in_dim(table, base, g_rows, axis=0)
+        rows, lanes_l, barys, sel1s, sel2s = [], [], [], [], []
+        for li, level in enumerate(group):
+            r, l, b, rank = _level_rows_lanes_bary(x, level, meta)
+            rows.append(r)
+            lanes_l.append(l)
+            barys.append(b)
+            s1, s2 = _dx_selectors(meta, rank, li)
+            pad = meta.vp - (d + 1)
+            if pad > 0:
+                s1 = jnp.pad(s1, ((0, 0), (0, pad)))
+                s2 = jnp.pad(s2, ((0, 0), (0, pad)))
+            sel1s.append(s1)
+            sel2s.append(s2)
+        row_arr = jnp.stack(rows) - base
+        lane_c = jnp.concatenate(lanes_l, -1)
+        bary_c = jnp.concatenate(barys, -1).astype(table.dtype)
+        sel1 = jnp.pad(jnp.concatenate(sel1s, -1),
+                       ((0, 0), (0, LANES - lc * meta.vp)))
+        sel2 = jnp.pad(jnp.concatenate(sel2s, -1),
+                       ((0, 0), (0, LANES - lc * meta.vp)))
+        gup_g = jax.lax.dynamic_slice_in_dim(
+            g_up, 2 * gi * meta.levels_per_call, 2 * lc, axis=1)
+        wmat = jnp.asarray(_dx_weight_matrix(meta, group), table.dtype)
+        kernel = functools.partial(_bwd_full_kernel, meta, lc, tile)
+        dtab_g, dx_g = pl.pallas_call(
+            kernel,
+            grid=(n_pad // tile,),
+            in_specs=[
+                pl.BlockSpec((lc, tile), lambda i: (0, i),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, lane_c.shape[1]), lambda i: (i, 0)),
+                pl.BlockSpec((tile, bary_c.shape[1]), lambda i: (i, 0)),
+                pl.BlockSpec((tile, 2 * lc), lambda i: (i, 0)),
+                pl.BlockSpec((tile, LANES), lambda i: (i, 0)),
+                pl.BlockSpec((tile, LANES), lambda i: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((g_rows, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((g_rows, LANES), table.dtype),
+                jax.ShapeDtypeStruct((n_pad, d), table.dtype),
+            ),
+            scratch_shapes=[pltpu.VMEM((lc * tile, LANES), table.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(row_arr, lane_c, bary_c, gup_g, sel1, sel2, wmat, table_g)
+        dtab = dtab.at[base:base + g_rows].set(dtab_g)
+        dx_total = dx_total + dx_g
+    return dx_total[:n], dtab
+
+
 # ----------------------------------------------------------------- public ops
 def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
@@ -455,11 +657,7 @@ def _enc_fwd(x, table, meta):
 def _enc_bwd(meta, res, g):
     x, table = res
     if _use_pallas():
-        d_tab = _bwd_table_pallas(g, x, meta, table.dtype)
-        # dL/dx through bary only (table entries are constants wrt x)
-        _, vjp_x = jax.vjp(
-            lambda xx: permuto_cell_encode_xla(xx, table, meta), x)
-        d_x = vjp_x(g)[0]
+        d_x, d_tab = _bwd_full_pallas(g, x, table, meta)
         return d_x, d_tab
     _, vjp_fn = jax.vjp(
         lambda xx, tt: permuto_cell_encode_xla(xx, tt, meta), x, table)

@@ -151,3 +151,29 @@ def test_fit_quality_vs_classic_permuto(rng):
     l_classic = fit(lambda x, p: P.permuto_encode(x, p, pmeta), ptab)
 
     assert l_cell < max(3.0 * l_classic, 1e-3), (l_cell, l_classic)
+
+
+def test_pallas_full_backward_interpret_parity(rng):
+    """Full backward kernel (dx + dtable in one pass — reference
+    permuto_enc_bwd with need_input_grad) vs XLA vjp, interpret mode,
+    3D and 4D, incl. anisotropic scales and multi-group level counts."""
+    for d, res in [(3, [3.0, 6.5]), (4, [2.0, 4.0]),
+                   (3, [(3.0, 4.0, 5.0)]),
+                   (3, [float(3 + i) for i in range(18)])]:
+        meta = PC.make_permuto_cell_meta(d, res, hashmap_rows=128)
+        table = jnp.asarray(rng.standard_normal((meta.total_rows, 128))
+                            .astype(np.float32))
+        x = jnp.asarray(rng.uniform(0.05, 0.95, (512, d)).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal((512, meta.out_features))
+                        .astype(np.float32))
+        _, vjp_fn = jax.vjp(
+            lambda xx, tt: PC.permuto_cell_encode_xla(xx, tt, meta), x, table)
+        dx_ref, dtab_ref = vjp_fn(g)
+        dx_k, dtab_k = PC._bwd_full_pallas(g, x, table, meta, tile=256,
+                                           interpret=True)
+        np.testing.assert_allclose(np.asarray(dtab_k), np.asarray(dtab_ref),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"dtab d={d} L={len(res)}")
+        np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_ref),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"dx d={d} L={len(res)}")
