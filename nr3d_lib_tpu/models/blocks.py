@@ -136,6 +136,13 @@ class MLP(nnx.Module):
             h = self.output_activation(h)
         return h
 
+    def get_weight_reg(self, norm_type: float = 2.0) -> Array:
+        """Per-layer weight norms, stacked (reference blocks/mlp.py
+        get_weight_reg) — downstream trainers sum these as a decay loss."""
+        return jnp.stack([
+            jnp.sum(jnp.abs(w[...]) ** norm_type) ** (1.0 / norm_type)
+            for w in self.ws])
+
 
 class LipshitzMLP(nnx.Module):
     """MLP with learnable per-layer Lipschitz bound c_i; weights are row-wise

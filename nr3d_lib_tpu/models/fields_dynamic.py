@@ -23,7 +23,7 @@ from nr3d_lib_tpu.models.grid_encodings.permuto.permuto_encoding import (
     PermutoParams)
 
 __all__ = ["DynamicPermutoConcatSDF", "DynamicPermutoConcatNeuS", "EmerNeRF",
-           "emernerf_cycle_loss"]
+           "EmerNeRFOnlyDynamic", "emernerf_cycle_loss"]
 
 Array = jax.Array
 
@@ -174,6 +174,16 @@ class EmerNeRF(nnx.Module):
         inp = jnp.concatenate([x * 0.5 + 0.5, ts * 0.5 + 0.5], -1)
         return self.dyn_bank.encode(inp)
 
+    def get_weight_reg(self, norm_type: float = 2.0) -> Array:
+        """Concatenated decoder weight norms (reference emernerf.py:456)."""
+        items = [self.static_decoder.get_weight_reg(norm_type),
+                 self.dyn_decoder.get_weight_reg(norm_type)]
+        if self.use_flow:
+            items.append(self.flow_mlp.get_weight_reg(norm_type))
+        if self.use_shadow:
+            items.append(self.shadow_mlp.get_weight_reg(norm_type))
+        return jnp.concatenate(items)
+
     def query_flow(self, x: Array, ts: Array) -> Dict[str, Array]:
         h = self._dyn_feats(x, ts)
         fl = self.flow_mlp(h)
@@ -227,6 +237,87 @@ class EmerNeRF(nnx.Module):
             ratio = (sigma_d / jnp.maximum(sigma, 1e-8))[..., None]
             out["rgb"] = rgb_s * (1 - ratio) + rgb_d * ratio
             out["rgb_static"] = rgb_s
+            out["rgb_dynamic"] = rgb_d
+        if self.use_flow and not self.temporal_aggregation:
+            out.update(self.query_flow(x, ts))
+        return out
+
+
+class EmerNeRFOnlyDynamic(nnx.Module):
+    """EmerNeRF without the static branch (reference emernerf.py:974
+    EmerNeRFOnlyDynamic) — models a fully dynamic scene (or the dynamic
+    residual on top of an external static model). Same dynamic (x,t) permuto
+    bank + flow field + temporal aggregation as `EmerNeRF`; exposes the same
+    output dict with sigma == sigma_dynamic so renderers treat both alike."""
+
+    def __init__(self, *, dynamic_permuto_cfg: Optional[dict] = None,
+                 use_flow: bool = True,
+                 temporal_aggregation: bool = True, dt: float = 0.02,
+                 agg_weights: Tuple[float, float, float] = (0.25, 0.5, 0.25),
+                 n_geo_feat: int = 15, seed: int = 0):
+        dcfg = dict(dynamic_permuto_cfg or {})
+        dcfg.setdefault("res_list", [8.0, 16.0, 32.0, 64.0])
+        dcfg.setdefault("n_feats", 2)
+        dcfg.setdefault("log2_hashmap_size", 16)
+        self.dyn_bank = PermutoParams(
+            4, dcfg["res_list"], n_feats=dcfg["n_feats"],
+            log2_hashmap_size=dcfg["log2_hashmap_size"],
+            backend=dcfg.get("backend", "xla"),
+            hashmap_rows=dcfg.get("hashmap_rows", 4096), seed=seed + 2)
+        self.dyn_meta = self.dyn_bank.meta
+        self.dyn_decoder = MLP(self.dyn_meta.out_features, 1 + n_geo_feat,
+                               D=1, W=64, seed=seed + 3)
+        self.dyn_radiance = RadianceNet(n_extra_feat=n_geo_feat, seed=seed + 5)
+        self.use_flow = use_flow
+        self.use_shadow = False
+        self.temporal_aggregation = bool(temporal_aggregation and use_flow)
+        self.dt = float(dt)
+        self.agg_weights = tuple(float(w) for w in agg_weights)
+        if use_flow:
+            self.flow_mlp = MLP(self.dyn_meta.out_features, 6, D=2, W=64,
+                                seed=seed + 6)
+
+    _dyn_feats = EmerNeRF._dyn_feats
+    query_flow = EmerNeRF.query_flow
+
+    def get_weight_reg(self, norm_type: float = 2.0) -> Array:
+        items = [self.dyn_decoder.get_weight_reg(norm_type)]
+        if self.use_flow:
+            items.append(self.flow_mlp.get_weight_reg(norm_type))
+        return jnp.concatenate(items)
+
+    def __call__(self, x: Array, v: Optional[Array], ts: Array,
+                 with_rgb: bool = True,
+                 key: Optional[Array] = None) -> Dict[str, Array]:
+        hd_feat = self._dyn_feats(x, ts)
+        out: Dict[str, Array] = {}
+        if self.temporal_aggregation:
+            fl = self.flow_mlp(hd_feat)
+            flow_fwd, flow_bwd = fl[..., :3], fl[..., 3:]
+            out["flow_fwd"], out["flow_bwd"] = flow_fwd, flow_bwd
+            ts_b = jnp.broadcast_to(jnp.asarray(ts, x.dtype).reshape(
+                (-1,) if jnp.ndim(ts) <= 1 else jnp.shape(ts)), x.shape[:-1])
+            if key is not None:
+                noise = 1.5 * jax.random.uniform(key, ts_b.shape, x.dtype)
+            else:
+                noise = jnp.ones_like(ts_b)
+            x_fwd = x + flow_fwd * noise[..., None]
+            x_bwd = x + flow_bwd * noise[..., None]
+            h_fwd = self._dyn_feats(x_fwd, ts_b + self.dt * noise)
+            h_bwd = self._dyn_feats(x_bwd, ts_b - self.dt * noise)
+            w = self.agg_weights
+            hd = self.dyn_decoder(w[0] * h_bwd + w[1] * hd_feat + w[2] * h_fwd)
+            out["flow_fwd_pred_bwd"] = self.flow_mlp(h_fwd)[..., 3:]
+            out["flow_bwd_pred_fwd"] = self.flow_mlp(h_bwd)[..., :3]
+        else:
+            hd = self.dyn_decoder(hd_feat)
+        sigma_d = trunc_exp(hd[..., 0])
+        out.update({"sigma": sigma_d, "sigma_dynamic": sigma_d,
+                    "sigma_static": jnp.zeros_like(sigma_d)})
+        if with_rgb:
+            rgb_d = self.dyn_radiance(x, v, None, hd[..., 1:])
+            out["rgb"] = rgb_d
+            out["rgb_static"] = jnp.zeros_like(rgb_d)
             out["rgb_dynamic"] = rgb_d
         if self.use_flow and not self.temporal_aggregation:
             out.update(self.query_flow(x, ts))

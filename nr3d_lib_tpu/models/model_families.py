@@ -230,10 +230,13 @@ class EmerNeRFModel(nnx.Module, ModelMixin):
                  temporal_aggregation: bool = True,
                  temporal_delta: float = 0.05,
                  n_march_steps: int = 96,
+                 only_dynamic: bool = False,
                  ray_query_cfg: Optional[dict] = None, seed: int = 0):
-        from nr3d_lib_tpu.models.fields_dynamic import EmerNeRF
+        from nr3d_lib_tpu.models.fields_dynamic import (EmerNeRF,
+                                                        EmerNeRFOnlyDynamic)
 
-        self.field = EmerNeRF(**(field_cfg or {}), seed=seed)
+        cls = EmerNeRFOnlyDynamic if only_dynamic else EmerNeRF
+        self.field = cls(**(field_cfg or {}), seed=seed)
         self.space = AABBDynamicSpace(**(space_cfg or {}))
         self.accel = OccGridAccelStaticAndDynamic(
             n_time_keys, **(accel_cfg or {"resolution": (32, 32, 32)}))
@@ -244,6 +247,35 @@ class EmerNeRFModel(nnx.Module, ModelMixin):
 
     def query_sigma(self, x: Array, ts: Array) -> Array:
         return self.field(x, None, ts, with_rgb=False)["sigma"]
+
+    def sample_pts_uniform(self, key: Array, num_samples: int
+                           ) -> Tuple[Array, Array]:
+        """Uniform (x, ts) samples in the normalized volume (reference
+        renderer_mixin.py:569 sample_pts_uniform) — for the sparsity /
+        eikonal-style volume regularizers."""
+        kx, kt = jax.random.split(key)
+        x = jax.random.uniform(kx, (num_samples, 3), minval=-1.0, maxval=1.0)
+        ts = jax.random.uniform(kt, (num_samples,), minval=-1.0, maxval=1.0)
+        return x, ts
+
+    def sample_pts_in_occupied(self, key: Array, num_samples: int
+                               ) -> Tuple[Array, Array]:
+        """(x, ts) samples biased to occupied cells of the static∪dynamic
+        grids (reference renderer_mixin.py:577): draw uniform candidates and
+        importance-resample those landing in occupied voxels (falls back to
+        uniform when the grids are empty)."""
+        from nr3d_lib_tpu.ops.occgrid_march import occgrid_query
+
+        kc, kp = jax.random.split(key)
+        cand = 4 * num_samples
+        x, ts = self.sample_pts_uniform(kc, cand)
+        occ = (occgrid_query(self.accel.static.occ(), x)
+               | occgrid_query(jnp.any(self.accel.dynamic.occ.occ(), axis=0),
+                               x))
+        p = occ.astype(jnp.float32) + 1e-6
+        idx = jax.random.choice(kp, cand, (num_samples,),
+                                p=p / jnp.sum(p))
+        return x[idx], ts[idx]
 
     def populate(self, key=None):
         key = key if key is not None else jax.random.key(0)

@@ -185,6 +185,43 @@ def test_emernerf_model():
     losses = _smoke_train(m, {"ts": ts}, use_nablas=False)
 
 
+def test_emernerf_model_only_dynamic_and_pt_sampling():
+    """only_dynamic=True swaps in EmerNeRFOnlyDynamic; the uniform /
+    occupied-biased point samplers (reference renderer_mixin.py:569-585)
+    return in-range points and respect occupancy."""
+    from nr3d_lib_tpu.models.model_families import EmerNeRFModel
+    from nr3d_lib_tpu.ops.occgrid_march import occgrid_query
+
+    m = EmerNeRFModel(
+        field_cfg={"dynamic_permuto_cfg": {
+            "res_list": [4.0, 8.0], "n_feats": 2, "log2_hashmap_size": 10}},
+        accel_cfg={"resolution": (8, 8, 8)}, n_time_keys=4,
+        n_march_steps=32, only_dynamic=True)
+    m.populate()
+    rt = m.ray_test(O, D)
+    rt["ts"] = jnp.asarray([-0.5, 0.5])
+    rendered, vb = m.ray_query(rt, key=jax.random.key(0))
+    assert np.isfinite(np.asarray(rendered["rgb_volume"])).all()
+    np.testing.assert_allclose(np.asarray(rendered["rgb_volume"]),
+                               np.asarray(rendered["rgb_dynamic_volume"]),
+                               atol=1e-6)
+
+    x, ts = m.sample_pts_uniform(jax.random.key(1), 64)
+    assert x.shape == (64, 3) and ts.shape == (64,)
+    assert float(jnp.max(jnp.abs(x))) <= 1.0 and \
+        float(jnp.max(jnp.abs(ts))) <= 1.0
+
+    # carve occupancy to one octant and check the biased sampler lands there
+    occ_val = np.zeros((8, 8, 8), np.float32)
+    occ_val[:4] = 1.0  # x in [-1, 0)
+    m.accel.static.val_grid[...] = jnp.asarray(occ_val)
+    m.accel.dynamic.occ.val_grid[...] = jnp.zeros_like(
+        m.accel.dynamic.occ.val_grid[...])
+    xo, tso = m.sample_pts_in_occupied(jax.random.key(2), 128)
+    frac_in = float(jnp.mean(occgrid_query(m.accel.static.occ(), xo)))
+    assert frac_in > 0.9, frac_in
+
+
 def test_lotd_neus_model_brick_backend_train_step():
     """LoTDNeuSModel with the brick encoding backend: full ray_query +
     eikonal train step must run through the brick nablas dispatch

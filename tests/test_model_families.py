@@ -207,6 +207,57 @@ def test_emernerf_temporal_aggregation_and_cycle(rng):
     assert np.isfinite(gn)
 
 
+def test_emernerf_only_dynamic(rng):
+    """No-static-branch variant (reference emernerf.py:974
+    EmerNeRFOnlyDynamic): same output contract, sigma == sigma_dynamic,
+    flow + temporal aggregation + weight reg all functional."""
+    from nr3d_lib_tpu.models.fields_dynamic import (EmerNeRFOnlyDynamic,
+                                                    emernerf_cycle_loss)
+
+    model = EmerNeRFOnlyDynamic(
+        dynamic_permuto_cfg={"res_list": [4.0, 8.0], "log2_hashmap_size": 10},
+        temporal_aggregation=True, dt=0.05)
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, (8, 3)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((8, 3)).astype(np.float32))
+    out = model(x, v, jnp.zeros(8))
+    for k in ["sigma", "sigma_static", "sigma_dynamic", "rgb", "rgb_static",
+              "rgb_dynamic", "flow_fwd", "flow_bwd", "flow_fwd_pred_bwd"]:
+        assert k in out, f"missing {k}"
+    np.testing.assert_allclose(np.asarray(out["sigma"]),
+                               np.asarray(out["sigma_dynamic"]), rtol=1e-6)
+    assert float(jnp.max(jnp.abs(out["sigma_static"]))) == 0.0
+    assert not np.allclose(
+        np.asarray(out["sigma"]),
+        np.asarray(model(x, v, jnp.full((8,), 0.9))["sigma"]))
+    c = emernerf_cycle_loss(out)
+    assert np.isfinite(float(c)) and float(c) >= 0
+    wr = model.get_weight_reg()
+    assert wr.ndim == 1 and np.isfinite(np.asarray(wr)).all()
+
+
+def test_mlp_weight_reg(rng):
+    """MLP.get_weight_reg (reference blocks.py get_weight_reg): one norm per
+    layer, matches a hand computation, and EmerNeRF concatenates its
+    decoders'."""
+    from nr3d_lib_tpu.models.blocks import MLP
+    from nr3d_lib_tpu.models.fields_dynamic import EmerNeRF
+
+    mlp = MLP(4, 3, D=2, W=8, seed=0)
+    wr = mlp.get_weight_reg(2.0)
+    assert wr.shape == (len(mlp.ws),)
+    np.testing.assert_allclose(
+        float(wr[0]), float(jnp.sqrt(jnp.sum(mlp.ws[0][...] ** 2))),
+        rtol=1e-6)
+    wr1 = mlp.get_weight_reg(1.0)
+    np.testing.assert_allclose(float(wr1[0]),
+                               float(jnp.sum(jnp.abs(mlp.ws[0][...]))),
+                               rtol=1e-6)
+    em = EmerNeRF(static_cfg={"lotd_cfg": {
+        "lod_res": [8], "lod_n_feats": 2, "lod_types": "Dense"}},
+        dynamic_permuto_cfg={"res_list": [4.0], "log2_hashmap_size": 10})
+    assert em.get_weight_reg().ndim == 1
+
+
 def test_nerf_distant(rng):
     from nr3d_lib_tpu.models.fields_distant import (NeRFDistant,
                                                     nerf_distant_ray_query)
