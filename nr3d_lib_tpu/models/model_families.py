@@ -344,8 +344,8 @@ class EmerNeRFModel(nnx.Module, ModelMixin):
         out["flow_cycle"] = out_fwd["flow_bwd"] - out["flow_fwd"]
         return out
 
-    def ray_query(self, ray_tested: Dict, key=None, with_rgb: bool = True
-                  ) -> Tuple[Dict, Dict]:
+    def ray_query(self, ray_tested: Dict, key=None, with_rgb: bool = True,
+                  branch: str = "full") -> Tuple[Dict, Dict]:
         from nr3d_lib_tpu.graphics.nerf import ray_alpha_to_vw, tau_to_alpha
         from nr3d_lib_tpu.ops.occgrid_march import march_steps
 
@@ -371,7 +371,12 @@ class EmerNeRFModel(nnx.Module, ModelMixin):
         ts_rep = jnp.repeat(ts, s)
         v = jnp.broadcast_to(rays_d[:, None, :], (r, s, 3)).reshape(r * s, 3)
         out = self._field_with_temporal_agg(flat_x, v, ts_rep, with_rgb)
-        sigma = jnp.where(smask, out["sigma"].reshape(r, s), 0.0)
+        # branch-isolated compositing (reference emernerf renderer_mixin
+        # ray_query_static :942 / ray_query_dynamic :959): density AND color
+        # come from one branch only, so occlusion by the other disappears.
+        sigma_key = {"full": "sigma", "static": "sigma_static",
+                     "dynamic": "sigma_dynamic"}[branch]
+        sigma = jnp.where(smask, out[sigma_key].reshape(r, s), 0.0)
         alpha = tau_to_alpha(sigma * dt_steps)
         alpha = jnp.where(ray_mask[:, None], alpha, 0.0)
         vw = ray_alpha_to_vw(alpha)
@@ -381,7 +386,9 @@ class EmerNeRFModel(nnx.Module, ModelMixin):
                         ray_mask,
                         jnp.sum(vw * t, -1) / jnp.maximum(acc, 1e-10), 0.0)}
         if with_rgb:
-            rgb = out["rgb"].reshape(r, s, 3)
+            rgb_key = {"full": "rgb", "static": "rgb_static",
+                       "dynamic": "rgb_dynamic"}[branch]
+            rgb = out[rgb_key].reshape(r, s, 3)
             rendered["rgb_volume"] = jnp.where(
                 ray_mask[:, None], jnp.sum(vw[..., None] * rgb, -2), 0.0)
             # separated static/dynamic renders (emernerf decomposition views)
@@ -404,3 +411,17 @@ class EmerNeRFModel(nnx.Module, ModelMixin):
         if self.field.use_shadow and with_rgb:
             vb["reg_shadow"] = jnp.mean(out["shadow"] ** 2)
         return rendered, vb
+
+    def ray_query_static(self, ray_tested: Dict, key=None,
+                         with_rgb: bool = True) -> Tuple[Dict, Dict]:
+        """Render the static branch alone (reference emernerf
+        renderer_mixin ray_query_static :942)."""
+        return self.ray_query(ray_tested, key=key, with_rgb=with_rgb,
+                              branch="static")
+
+    def ray_query_dynamic(self, ray_tested: Dict, key=None,
+                          with_rgb: bool = True) -> Tuple[Dict, Dict]:
+        """Render the dynamic branch alone (reference emernerf
+        renderer_mixin ray_query_dynamic :959)."""
+        return self.ray_query(ray_tested, key=key, with_rgb=with_rgb,
+                              branch="dynamic")

@@ -222,6 +222,43 @@ def test_emernerf_model_only_dynamic_and_pt_sampling():
     assert frac_in > 0.9, frac_in
 
 
+def test_emernerf_branch_isolated_renders():
+    """ray_query_static / ray_query_dynamic (reference renderer_mixin
+    :942/:959) composite one branch's density+color only: static+dynamic
+    branch opacities each ≤ the full render's, and an only-dynamic model's
+    static render is empty."""
+    from nr3d_lib_tpu.models.model_families import EmerNeRFModel
+
+    m = EmerNeRFModel(
+        field_cfg={"static_cfg": {"lotd_cfg": {
+            "lod_res": [8], "lod_n_feats": 2, "lod_types": "Dense"}},
+            "dynamic_permuto_cfg": {
+                "res_list": [4.0, 8.0], "log2_hashmap_size": 10}},
+        accel_cfg={"resolution": (8, 8, 8)}, n_time_keys=4, n_march_steps=32)
+    m.populate()
+    rt = m.ray_test(O, D)
+    rt["ts"] = jnp.asarray([-0.5, 0.5])
+    full, _ = m.ray_query(rt, key=jax.random.key(0))
+    stat, _ = m.ray_query_static(rt, key=jax.random.key(0))
+    dyn, _ = m.ray_query_dynamic(rt, key=jax.random.key(0))
+    for r in (full, stat, dyn):
+        assert np.isfinite(np.asarray(r["rgb_volume"])).all()
+    # one branch's occupancy can't exceed the union's
+    assert np.all(np.asarray(stat["mask_volume"])
+                  <= np.asarray(full["mask_volume"]) + 1e-5)
+    assert np.all(np.asarray(dyn["mask_volume"])
+                  <= np.asarray(full["mask_volume"]) + 1e-5)
+
+    m2 = EmerNeRFModel(
+        field_cfg={"dynamic_permuto_cfg": {
+            "res_list": [4.0, 8.0], "log2_hashmap_size": 10}},
+        accel_cfg={"resolution": (8, 8, 8)}, n_time_keys=4,
+        n_march_steps=32, only_dynamic=True)
+    m2.populate()
+    stat2, _ = m2.ray_query_static(rt, key=jax.random.key(0))
+    assert float(jnp.max(stat2["mask_volume"])) == 0.0
+
+
 def test_lotd_neus_model_brick_backend_train_step():
     """LoTDNeuSModel with the brick encoding backend: full ray_query +
     eikonal train step must run through the brick nablas dispatch
