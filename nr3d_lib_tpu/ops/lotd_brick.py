@@ -342,6 +342,87 @@ def _fwd_kernel_v2(meta: BrickMeta, tile: int,
                             ).astype(out_ref.dtype)
 
 
+def _fwd_kernel_v3(meta: BrickMeta, tile: int, block: int,
+                   rows_ref, lane_ref, frac_ref, table_ref, m_ref,
+                   out_ref, buf_a, buf_b):
+    """Software-pipelined forward: while the VPU extracts block j from one
+    buffer, the scalar core gathers block j+1's rows into the other.
+
+    v2 serializes the two phases (gather ~14 cyc/pt, then extraction ~5);
+    the scalar and vector pipes are separate units, and the dual-issue probe
+    (experiments/kernel_probe2.py mix) measured ~55% of scalar gather time
+    hidden behind interleaved vector work. Interleaving is per LEVEL: each
+    of block j's 8 extraction steps is preceded by block j+1's level-l
+    gather burst, giving the scheduler alternating scalar/vector chunks with
+    no same-ref hazards (A/B buffers alternate by block parity).
+    """
+    from jax.experimental import pallas as pl
+
+    L = meta.n_levels
+    nblk = tile // block
+    assert nblk % 2 == 0
+
+    def gather_level(buf, base, l):
+        for k in range(block):
+            buf[pl.ds(l * block + k, 1), :] = \
+                table_ref[pl.ds(rows_ref[l, base + k], 1), :]
+
+    def extract(buf, base, gather_next):
+        lane_blk = lane_ref[pl.ds(base, block), :]
+        frac_blk = frac_ref[pl.ds(base, block), :]
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+        lvl = lane_i >> 4
+        q = lane_i & 15
+        k = q >> 1
+        bx = (k >> 2) & 1
+        by = (k >> 1) & 1
+        bz = k & 1
+        off = (bx * (BRICK_W * BRICK_W) + by * BRICK_W + bz) * N_FEAT \
+            + (q & 1)
+        lvl_c = jnp.minimum(lvl, L - 1)
+        lane0 = jnp.take_along_axis(
+            jnp.pad(lane_blk, ((0, 0), (0, LANES - lane_blk.shape[1]))),
+            lvl_c, axis=1)
+        wanted = lane0 + off
+        g = jnp.zeros((block, LANES), buf.dtype)
+        for l in range(L):
+            if gather_next is not None:
+                buf_w, base_w = gather_next
+                gather_level(buf_w, base_w, l)
+            rows = buf[pl.ds(l * block, block), :]
+            g_l = jnp.take_along_axis(rows, wanted, axis=1)
+            g = jnp.where(lvl == l, g_l, g)
+        frac_pad = jnp.pad(frac_blk,
+                           ((0, 0), (0, LANES - frac_blk.shape[1])))
+        w = jnp.ones((block, LANES), buf.dtype)
+        for a, bit in enumerate((bx, by, bz)):
+            f_a = jnp.take_along_axis(
+                frac_pad, jnp.minimum(3 * lvl_c + a, LANES - 1), axis=1)
+            w = w * jnp.where(bit > 0, f_a, 1.0 - f_a)
+        out_ref[pl.ds(base, block), :] = jnp.dot(
+            g * w, m_ref[:], preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
+
+    for l in range(L):
+        gather_level(buf_a, 0, l)
+
+    def body(j, _):
+        b0 = 2 * j * block
+        extract(buf_a, b0, (buf_b, b0 + block))
+
+        @pl.when(b0 + 2 * block < tile)
+        def _():
+            extract(buf_b, b0 + block, (buf_a, b0 + 2 * block))
+
+        @pl.when(b0 + 2 * block >= tile)
+        def _():
+            extract(buf_b, b0 + block, None)
+
+        return 0
+
+    jax.lax.fori_loop(0, nblk // 2, body, 0)
+
+
 def _bwd_kernel_v2(meta: BrickMeta, tile: int, need_dx: bool,
                    rows_ref, lane_ref, frac_ref, table_ref, m_ref,
                    gup_ref, dtab_ref, dx_ref, scratch_ref):
@@ -434,6 +515,133 @@ def _bwd_kernel_v2(meta: BrickMeta, tile: int, need_dx: bool,
         return 0
 
     jax.lax.fori_loop(0, tile // INNER, scatter_body, 0)
+
+
+def _bwd_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
+                   rows_ref, lane_ref, frac_ref, table_ref, m_ref,
+                   gup_ref, dtab_ref, dx_ref, gbuf_a, gbuf_b,
+                   sbuf_a, sbuf_b):
+    """Software-pipelined backward (same scheme as `_fwd_kernel_v3`): while
+    the VPU builds block j's scatter slab (+ dL/dx), the scalar core gathers
+    block j+1's table rows into the other gather buffer AND scatter-adds
+    block j−1's finished slab into dL/dtable. Blocks alternate A/B buffers
+    so every in-flight phase touches disjoint refs; the dtab read-modify-
+    write chain stays in block order (duplicate rows remain correct)."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dtab_ref[:, :] = jnp.zeros_like(dtab_ref)
+
+    L = meta.n_levels
+    nblk = tile // block
+    assert nblk % 2 == 0
+
+    def gather_level(buf, base, l):
+        for k in range(block):
+            buf[pl.ds(l * block + k, 1), :] = \
+                table_ref[pl.ds(rows_ref[l, base + k], 1), :]
+
+    def scatter_level(sbuf, base, l):
+        for k in range(block):
+            r = rows_ref[l, base + k]
+            dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
+                sbuf[pl.ds(l * block + k, 1), :]
+
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+    lvl = jnp.minimum(lane_i >> 4, L - 1)
+    q = lane_i & 15
+    kq = q >> 1
+    bits = ((kq >> 2) & 1, (kq >> 1) & 1, kq & 1)
+    off = (bits[0] * (BRICK_W * BRICK_W) + bits[1] * BRICK_W + bits[2]) \
+        * N_FEAT + (q & 1)
+
+    def process(gbuf, sbuf, base, next_base, prev_base, prev_sbuf):
+        """Vector work for block at `base` interleaved per level with the
+        scalar gather of `next_base` and the scalar scatter of `prev_base`."""
+        lane_blk = lane_ref[pl.ds(base, block), :]
+        frac_blk = frac_ref[pl.ds(base, block), :]
+        gup_blk = gup_ref[pl.ds(base, block), :]
+        lane_pad = jnp.pad(lane_blk,
+                           ((0, 0), (0, LANES - lane_blk.shape[1])))
+        frac_pad = jnp.pad(frac_blk,
+                           ((0, 0), (0, LANES - frac_blk.shape[1])))
+        gup_pad = jnp.pad(gup_blk, ((0, 0), (0, LANES - gup_blk.shape[1])))
+        gb = jnp.take_along_axis(gup_pad, lvl * 2 + (lane_i & 1), axis=1)
+
+        s = []
+        for a, bit in enumerate(bits):
+            f_a = jnp.take_along_axis(
+                frac_pad, jnp.minimum(3 * lvl + a, LANES - 1), axis=1)
+            s.append(jnp.where(bit > 0, f_a, 1.0 - f_a))
+        w = s[0] * s[1] * s[2]
+
+        lane0 = jnp.take_along_axis(lane_pad, lvl, axis=1)
+        wanted = lane0 + off
+        g = jnp.zeros((block, LANES), gbuf.dtype)
+        other_gbuf = gbuf_b if gbuf is gbuf_a else gbuf_a
+        for l in range(L):
+            if need_dx:
+                # next gather predicated off past the last block
+                @pl.when(next_base < tile)
+                def _(l=l):
+                    gather_level(other_gbuf, next_base, l)
+
+            # previous block's scatter predicated off for the first block
+            @pl.when(prev_base >= 0)
+            def _(l=l):
+                scatter_level(prev_sbuf, prev_base, l)
+
+            if need_dx:
+                rows_l = gbuf[pl.ds(l * block, block), :]
+                g_l = jnp.take_along_axis(rows_l, wanted, axis=1)
+                g = jnp.where(lvl == l, g_l, g)
+
+        if need_dx:
+            h = gb * g
+            tx = h * s[1] * s[2]
+            ty = h * s[0] * s[2]
+            tz = h * s[0] * s[1]
+            dx0 = jnp.dot(tx, m_ref[:, 0:1],
+                          preferred_element_type=jnp.float32)
+            dx1 = jnp.dot(ty, m_ref[:, 1:2],
+                          preferred_element_type=jnp.float32)
+            dx2 = jnp.dot(tz, m_ref[:, 2:3],
+                          preferred_element_type=jnp.float32)
+            dx_ref[pl.ds(base, block), :] = jnp.concatenate(
+                [dx0, dx1, dx2], axis=-1).astype(dx_ref.dtype)
+        else:
+            dx_ref[pl.ds(base, block), :] = jnp.zeros(
+                (block, 3), dx_ref.dtype)
+
+        contrib = gb * w
+        for l in range(L):
+            lane0_l = jnp.take_along_axis(
+                lane_pad, jnp.full((block, LANES), l, jnp.int32), axis=1)
+            d = lane_i - lane0_l
+            valid = (d >= 0) & (d <= 43) & ((d & 0b0010100) == 0)
+            dxb = (d >> 5) & 1
+            dyb = (d >> 3) & 1
+            dzb = (d >> 1) & 1
+            qinv = dxb * 8 + dyb * 4 + dzb * 2 + (d & 1)
+            src = jnp.clip(l * 16 + qinv, 0, LANES - 1)
+            sbuf[pl.ds(l * block, block), :] = jnp.where(
+                valid, jnp.take_along_axis(contrib, src, axis=1), 0.0)
+
+    if need_dx:
+        for l in range(L):
+            gather_level(gbuf_a, 0, l)
+
+    def body(j, _):
+        b0 = 2 * j * block
+        process(gbuf_a, sbuf_a, b0, b0 + block, b0 - block, sbuf_b)
+        process(gbuf_b, sbuf_b, b0 + block, b0 + 2 * block, b0, sbuf_a)
+        return 0
+
+    jax.lax.fori_loop(0, nblk // 2, body, 0)
+    # epilogue: the last block's slab is staged in sbuf_b
+    for l in range(L):
+        scatter_level(sbuf_b, tile - block, l)
 
 
 def _aux_patterns(meta: BrickMeta) -> np.ndarray:
@@ -586,6 +794,10 @@ def _bwd2_kernel(meta: BrickMeta, tile: int,
 
 
 _MAX_CHUNK = 1 << 19  # Mosaic crashes on very large per-call shapes
+_FWD_VERSION = 3      # 3 = software-pipelined fwd kernel; 2 = phase-serial
+_FWD_BLOCK = 1024     # points per pipeline stage in the v3 kernel
+                      # (A/B at 3.6M pts: 1024 -> 15.0 cyc/pt vs v2's
+                      # 23.5; smaller blocks pipeline worse)
 
 
 def _pad_points(x: Array, tile: int) -> Tuple[Array, int]:
@@ -622,7 +834,14 @@ def _brick_encode_pallas_impl(x: Array, table: Array, meta: BrickMeta,
     rows, lane_c, frac_c = _prologue(x, meta, table.dtype, tile)
     m_red = jnp.asarray(_reduce_matrix(L), table.dtype)
 
-    kernel = functools.partial(_fwd_kernel_v2, meta, tile)
+    block = _FWD_BLOCK
+    if _FWD_VERSION == 3 and tile % (2 * block) == 0:
+        kernel = functools.partial(_fwd_kernel_v3, meta, tile, block)
+        scratch = [pltpu.VMEM((L * block, LANES), table.dtype),
+                   pltpu.VMEM((L * block, LANES), table.dtype)]
+    else:
+        kernel = functools.partial(_fwd_kernel_v2, meta, tile)
+        scratch = [pltpu.VMEM((L * tile, LANES), table.dtype)]
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
@@ -635,7 +854,7 @@ def _brick_encode_pallas_impl(x: Array, table: Array, meta: BrickMeta,
         ],
         out_specs=pl.BlockSpec((tile, 2 * L), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_pad, 2 * L), table.dtype),
-        scratch_shapes=[pltpu.VMEM((L * tile, LANES), table.dtype)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
@@ -682,7 +901,15 @@ def _brick_bwd_pallas_impl(x: Array, table: Array, g_up: Array,
     rows, lane_c, frac_c = _prologue(x, meta, table.dtype, tile)
     m_dx = jnp.asarray(_dx_matrix(meta), table.dtype)
 
-    kernel = functools.partial(_bwd_kernel_v2, meta, tile, need_dx)
+    block = _FWD_BLOCK
+    if _FWD_VERSION == 3 and tile % (2 * block) == 0:
+        kernel = functools.partial(_bwd_kernel_v3, meta, tile, block,
+                                   need_dx)
+        scratch = [pltpu.VMEM((L * block, LANES), table.dtype)
+                   for _ in range(4)]
+    else:
+        kernel = functools.partial(_bwd_kernel_v2, meta, tile, need_dx)
+        scratch = [pltpu.VMEM((L * tile, LANES), table.dtype)]
     dtab, dx = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
@@ -703,7 +930,7 @@ def _brick_bwd_pallas_impl(x: Array, table: Array, g_up: Array,
             jax.ShapeDtypeStruct(table.shape, table.dtype),
             jax.ShapeDtypeStruct((n_pad, 3), table.dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((L * tile, LANES), table.dtype)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
