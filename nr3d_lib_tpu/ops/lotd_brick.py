@@ -699,6 +699,211 @@ def _dydx_kernel(meta: BrickMeta, tile: int,
     dx_ref[:, :] = jnp.concatenate([dx0, dx1, dx2], -1).astype(dx_ref.dtype)
 
 
+def _dydx_kernel_v3(meta: BrickMeta, tile: int, block: int,
+                    rows_ref, lane_ref, frac_ref, table_ref, m_ref, gup_ref,
+                    dx_ref, buf_a, buf_b):
+    """Software-pipelined nablas kernel (same scheme as `_fwd_kernel_v3`):
+    block j+1's row gathers interleave with block j's dL/dx vector math."""
+    from jax.experimental import pallas as pl
+
+    L = meta.n_levels
+    nblk = tile // block
+    assert nblk % 2 == 0
+
+    def gather_level(buf, base, l):
+        for k in range(block):
+            buf[pl.ds(l * block + k, 1), :] = \
+                table_ref[pl.ds(rows_ref[l, base + k], 1), :]
+
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+    lvl = jnp.minimum(lane_i >> 4, L - 1)
+    q = lane_i & 15
+    kq = q >> 1
+    bits = ((kq >> 2) & 1, (kq >> 1) & 1, kq & 1)
+    off = (bits[0] * (BRICK_W * BRICK_W) + bits[1] * BRICK_W + bits[2]) \
+        * N_FEAT + (q & 1)
+
+    def process(buf, base, next_base):
+        lane_blk = lane_ref[pl.ds(base, block), :]
+        frac_blk = frac_ref[pl.ds(base, block), :]
+        gup_blk = gup_ref[pl.ds(base, block), :]
+        lane_pad = jnp.pad(lane_blk,
+                           ((0, 0), (0, LANES - lane_blk.shape[1])))
+        frac_pad = jnp.pad(frac_blk,
+                           ((0, 0), (0, LANES - frac_blk.shape[1])))
+        gup_pad = jnp.pad(gup_blk, ((0, 0), (0, LANES - gup_blk.shape[1])))
+        gb = jnp.take_along_axis(gup_pad, lvl * 2 + (lane_i & 1), axis=1)
+
+        lane0 = jnp.take_along_axis(lane_pad, lvl, axis=1)
+        wanted = lane0 + off
+        other = buf_b if buf is buf_a else buf_a
+        g = jnp.zeros((block, LANES), buf.dtype)
+        for l in range(L):
+            @pl.when(next_base < tile)
+            def _(l=l):
+                gather_level(other, next_base, l)
+
+            rows_l = buf[pl.ds(l * block, block), :]
+            g_l = jnp.take_along_axis(rows_l, wanted, axis=1)
+            g = jnp.where(lvl == l, g_l, g)
+
+        s = []
+        for a, bit in enumerate(bits):
+            f_a = jnp.take_along_axis(
+                frac_pad, jnp.minimum(3 * lvl + a, LANES - 1), axis=1)
+            s.append(jnp.where(bit > 0, f_a, 1.0 - f_a))
+        h = gb * g
+        tx = h * s[1] * s[2]
+        ty = h * s[0] * s[2]
+        tz = h * s[0] * s[1]
+        dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32)
+        dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32)
+        dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32)
+        dx_ref[pl.ds(base, block), :] = jnp.concatenate(
+            [dx0, dx1, dx2], -1).astype(dx_ref.dtype)
+
+    for l in range(L):
+        gather_level(buf_a, 0, l)
+
+    def body(j, _):
+        b0 = 2 * j * block
+        process(buf_a, b0, b0 + block)
+        process(buf_b, b0 + block, b0 + 2 * block)
+        return 0
+
+    jax.lax.fori_loop(0, nblk // 2, body, 0)
+
+
+def _bwd2_kernel_v3(meta: BrickMeta, tile: int, block: int,
+                    rows_ref, lane_ref, frac_ref, table_ref, mred_ref,
+                    aux_ref, gup_ref, gg_ref,
+                    dgup_ref, dtab_ref, dx_ref, gbuf_a, gbuf_b,
+                    sbuf_a, sbuf_b):
+    """Software-pipelined 2nd-order backward (same scheme as
+    `_bwd_kernel_v3`): gather j+1 and scatter j−1 interleave with block j's
+    vector math; semantics identical to `_bwd2_kernel`."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dtab_ref[:, :] = jnp.zeros_like(dtab_ref)
+
+    L = meta.n_levels
+    nblk = tile // block
+    assert nblk % 2 == 0
+
+    def gather_level(buf, base, l):
+        for k in range(block):
+            buf[pl.ds(l * block + k, 1), :] = \
+                table_ref[pl.ds(rows_ref[l, base + k], 1), :]
+
+    def scatter_level(sbuf, base, l):
+        for k in range(block):
+            r = rows_ref[l, base + k]
+            dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
+                sbuf[pl.ds(l * block + k, 1), :]
+
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+    lvl = jnp.minimum(lane_i >> 4, L - 1)
+    q = lane_i & 15
+    kq = q >> 1
+    bits = ((kq >> 2) & 1, (kq >> 1) & 1, kq & 1)
+    off = (bits[0] * (BRICK_W * BRICK_W) + bits[1] * BRICK_W + bits[2]) \
+        * N_FEAT + (q & 1)
+    aux = aux_ref[:]                                          # [8,128]
+
+    def process(gbuf, sbuf, base, next_base, prev_base, prev_sbuf):
+        lane_blk = lane_ref[pl.ds(base, block), :]
+        frac_blk = frac_ref[pl.ds(base, block), :]
+        gup_blk = gup_ref[pl.ds(base, block), :]
+        gg_blk = gg_ref[pl.ds(base, block), :]
+        lane_pad = jnp.pad(lane_blk,
+                           ((0, 0), (0, LANES - lane_blk.shape[1])))
+        frac_pad = jnp.pad(frac_blk,
+                           ((0, 0), (0, LANES - frac_blk.shape[1])))
+        gup_pad = jnp.pad(gup_blk, ((0, 0), (0, LANES - gup_blk.shape[1])))
+        gb = jnp.take_along_axis(gup_pad, lvl * 2 + (lane_i & 1), axis=1)
+
+        lane0 = jnp.take_along_axis(lane_pad, lvl, axis=1)
+        wanted = lane0 + off
+        other_gbuf = gbuf_b if gbuf is gbuf_a else gbuf_a
+        g = jnp.zeros((block, LANES), gbuf.dtype)
+        for l in range(L):
+            @pl.when(next_base < tile)
+            def _(l=l):
+                gather_level(other_gbuf, next_base, l)
+
+            @pl.when(prev_base >= 0)
+            def _(l=l):
+                scatter_level(prev_sbuf, prev_base, l)
+
+            rows_l = gbuf[pl.ds(l * block, block), :]
+            g_l = jnp.take_along_axis(rows_l, wanted, axis=1)
+            g = jnp.where(lvl == l, g_l, g)
+
+        s = []
+        for a, bit in enumerate(bits):
+            f_a = jnp.take_along_axis(
+                frac_pad, jnp.minimum(3 * lvl + a, LANES - 1), axis=1)
+            s.append(jnp.where(bit > 0, f_a, 1.0 - f_a))
+
+        sp0 = s[1] * s[2]
+        sp1 = s[0] * s[2]
+        sp2 = s[0] * s[1]
+        d0 = aux[0:1, :] * sp0
+        d1 = aux[1:2, :] * sp1
+        d2 = aux[2:3, :] * sp2
+        gg0 = gg_blk[:, 0:1]
+        gg1 = gg_blk[:, 1:2]
+        gg2 = gg_blk[:, 2:3]
+        f_lane = gg0 * d0 + gg1 * d1 + gg2 * d2
+
+        dgup_ref[pl.ds(base, block), :] = jnp.dot(
+            g * f_lane, mred_ref[:], preferred_element_type=jnp.float32
+        ).astype(dgup_ref.dtype)
+
+        h2 = gb * g
+        u0 = h2 * s[0]
+        u1 = h2 * s[1]
+        u2 = h2 * s[2]
+        ones_col = mred_ref[:, 0:1] * 0.0 + 1.0
+        z0 = gg1 * (u2 * aux[3:4, :]) + gg2 * (u1 * aux[4:5, :])
+        z1 = gg0 * (u2 * aux[3:4, :]) + gg2 * (u0 * aux[5:6, :])
+        z2 = gg0 * (u1 * aux[4:5, :]) + gg1 * (u0 * aux[5:6, :])
+        dxa = jnp.dot(z0, ones_col, preferred_element_type=jnp.float32)
+        dxb = jnp.dot(z1, ones_col, preferred_element_type=jnp.float32)
+        dxc = jnp.dot(z2, ones_col, preferred_element_type=jnp.float32)
+        dx_ref[pl.ds(base, block), :] = jnp.concatenate(
+            [dxa, dxb, dxc], -1).astype(dx_ref.dtype)
+
+        contrib = gb * f_lane
+        for l in range(L):
+            lane0_l = jnp.take_along_axis(
+                lane_pad, jnp.full((block, LANES), l, jnp.int32), axis=1)
+            d = lane_i - lane0_l
+            valid = (d >= 0) & (d <= 43) & ((d & 0b0010100) == 0)
+            dxb_ = (d >> 5) & 1
+            dyb_ = (d >> 3) & 1
+            dzb_ = (d >> 1) & 1
+            qinv = dxb_ * 8 + dyb_ * 4 + dzb_ * 2 + (d & 1)
+            src = jnp.clip(l * 16 + qinv, 0, LANES - 1)
+            sbuf[pl.ds(l * block, block), :] = jnp.where(
+                valid, jnp.take_along_axis(contrib, src, axis=1), 0.0)
+
+    for l in range(L):
+        gather_level(gbuf_a, 0, l)
+
+    def body(j, _):
+        b0 = 2 * j * block
+        process(gbuf_a, sbuf_a, b0, b0 + block, b0 - block, sbuf_b)
+        process(gbuf_b, sbuf_b, b0 + block, b0 + 2 * block, b0, sbuf_a)
+        return 0
+
+    jax.lax.fori_loop(0, nblk // 2, body, 0)
+    for l in range(L):
+        scatter_level(sbuf_b, tile - block, l)
+
+
 def _bwd2_kernel(meta: BrickMeta, tile: int,
                  rows_ref, lane_ref, frac_ref, table_ref, mred_ref, aux_ref,
                  gup_ref, gg_ref,
@@ -1024,7 +1229,14 @@ def _brick_dydx_pallas(g_up: Array, x: Array, table: Array, meta: BrickMeta,
     L = meta.n_levels
     rows, lane_c, frac_c = _prologue(x, meta, table.dtype, tile)
     m_dx = jnp.asarray(_dx_matrix(meta), table.dtype)
-    kernel = functools.partial(_dydx_kernel, meta, tile)
+    block = _FWD_BLOCK
+    if _FWD_VERSION == 3 and tile % (2 * block) == 0:
+        kernel = functools.partial(_dydx_kernel_v3, meta, tile, block)
+        scratch = [pltpu.VMEM((L * block, LANES), table.dtype)
+                   for _ in range(2)]
+    else:
+        kernel = functools.partial(_dydx_kernel, meta, tile)
+        scratch = [pltpu.VMEM((L * tile, LANES), table.dtype)]
     dx = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
@@ -1038,7 +1250,7 @@ def _brick_dydx_pallas(g_up: Array, x: Array, table: Array, meta: BrickMeta,
         ],
         out_specs=pl.BlockSpec((tile, 3), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_pad, 3), table.dtype),
-        scratch_shapes=[pltpu.VMEM((L * tile, LANES), table.dtype)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
@@ -1081,7 +1293,14 @@ def _brick_bwd2_pallas(g_up: Array, x: Array, table: Array, gg: Array,
     rows, lane_c, frac_c = _prologue(x, meta, table.dtype, tile)
     m_red = jnp.asarray(_reduce_matrix(L), table.dtype)
     aux = jnp.asarray(_aux_patterns(meta), table.dtype)
-    kernel = functools.partial(_bwd2_kernel, meta, tile)
+    block = _FWD_BLOCK
+    if _FWD_VERSION == 3 and tile % (2 * block) == 0:
+        kernel = functools.partial(_bwd2_kernel_v3, meta, tile, block)
+        scratch = [pltpu.VMEM((L * block, LANES), table.dtype)
+                   for _ in range(4)]
+    else:
+        kernel = functools.partial(_bwd2_kernel, meta, tile)
+        scratch = [pltpu.VMEM((L * tile, LANES), table.dtype)]
     dgup, dtab, dx = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
@@ -1106,7 +1325,7 @@ def _brick_bwd2_pallas(g_up: Array, x: Array, table: Array, gg: Array,
             jax.ShapeDtypeStruct(table.shape, table.dtype),
             jax.ShapeDtypeStruct((n_pad, 3), table.dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((L * tile, LANES), table.dtype)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,

@@ -9,6 +9,25 @@ from nr3d_lib_tpu.ops import lotd_brick as B
 from nr3d_lib_tpu.ops import lotd as L
 
 
+class _block(object):
+    """Temporarily force a kernel version / pipeline block: the default
+    1024 block is tuned for the TPU but traces enormous unrolled bodies in
+    interpret mode, and it silently falls back to v2 whenever
+    tile % (2·block) != 0 — tests pin both knobs explicitly."""
+
+    def __init__(self, block, version=3):
+        self.block = block
+        self.version = version
+
+    def __enter__(self):
+        self.saved = (B._FWD_BLOCK, B._FWD_VERSION)
+        B._FWD_BLOCK = self.block
+        B._FWD_VERSION = self.version
+
+    def __exit__(self, *a):
+        B._FWD_BLOCK, B._FWD_VERSION = self.saved
+
+
 def test_meta_and_layout():
     meta = B.make_brick_meta([16, 32, 2048], ["Dense", "Dense", "Hash"],
                              hashmap_rows=4096)
@@ -121,10 +140,12 @@ def test_pallas_kernel_interpret_mode(rng):
                         .astype(np.float32))
     x = jnp.asarray(rng.uniform(0.01, 0.99, (300, 3)).astype(np.float32))
     y_ref = B.brick_encode_xla(x, table, bmeta)
-    with pltpu.force_tpu_interpret_mode():
-        y_k = B._brick_encode_pallas(x, table, bmeta, tile=256)
-    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
-                               rtol=1e-5, atol=1e-6)
+    # v3 (pipelined, block=128 so the 256-tile triggers it) and v2
+    for blk, ver in ((128, 3), (128, 2)):
+        with _block(blk, ver), pltpu.force_tpu_interpret_mode():
+            y_k = B._brick_encode_pallas(x, table, bmeta, tile=256)
+        np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_pallas_backward_interpret_mode(rng):
@@ -151,10 +172,11 @@ def test_pallas_backward_interpret_mode(rng):
         y_ref, vjp = jax.vjp(lambda xx, tt: B.brick_encode_xla(xx, tt, bmeta),
                              x, table)
         dx_ref, dtab_ref = vjp(g)
-        y = B._brick_encode_pallas_impl(x, table, bmeta, tile=2048,
-                                        interpret=True)
-        dx, dtab = B._brick_bwd_pallas_impl(x, table, g, bmeta, tile=2048,
+        with _block(256, 3):
+            y = B._brick_encode_pallas_impl(x, table, bmeta, tile=2048,
                                             interpret=True)
+            dx, dtab = B._brick_bwd_pallas_impl(x, table, g, bmeta,
+                                                tile=2048, interpret=True)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
@@ -183,13 +205,15 @@ def test_pallas_second_order_interpret_mode(rng):
                        .astype(np.float32))
     gg = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
 
-    # primal: nablas kernel vs XLA vjp
+    # primal: nablas kernel vs XLA vjp — v3 (block=256) and v2
     _, vjp_x = jax.vjp(lambda xx: B.brick_encode_xla(xx, table, bmeta), x)
     nab_ref = vjp_x(g_up)[0]
-    nab_k = B._brick_dydx_pallas(g_up, x, table, bmeta, tile=512,
-                                 interpret=True)
-    np.testing.assert_allclose(np.asarray(nab_k), np.asarray(nab_ref),
-                               rtol=2e-4, atol=2e-3)
+    for blk, ver in ((256, 3), (256, 2)):
+        with _block(blk, ver):
+            nab_k = B._brick_dydx_pallas(g_up, x, table, bmeta, tile=512,
+                                         interpret=True)
+        np.testing.assert_allclose(np.asarray(nab_k), np.asarray(nab_ref),
+                                   rtol=2e-4, atol=2e-3)
 
     # backward: the three cotangents vs XLA double-vjp
     def nab_fn(gu, xx, tt):
@@ -198,14 +222,16 @@ def test_pallas_second_order_interpret_mode(rng):
 
     _, vjp2 = jax.vjp(nab_fn, g_up, x, table)
     dgup_ref, dx_ref, dtab_ref = vjp2(gg)
-    dgup_k, dx_k, dtab_k = B._brick_bwd2_pallas(g_up, x, table, gg, bmeta,
-                                                tile=512, interpret=True)
-    np.testing.assert_allclose(np.asarray(dgup_k), np.asarray(dgup_ref),
-                               rtol=2e-4, atol=2e-3)
-    np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_ref),
-                               rtol=2e-4, atol=2e-2)
-    np.testing.assert_allclose(np.asarray(dtab_k), np.asarray(dtab_ref),
-                               rtol=2e-4, atol=2e-3)
+    for blk, ver in ((256, 3), (256, 2)):
+        with _block(blk, ver):
+            dgup_k, dx_k, dtab_k = B._brick_bwd2_pallas(
+                g_up, x, table, gg, bmeta, tile=512, interpret=True)
+        np.testing.assert_allclose(np.asarray(dgup_k), np.asarray(dgup_ref),
+                                   rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_ref),
+                                   rtol=2e-4, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(dtab_k), np.asarray(dtab_ref),
+                                   rtol=2e-4, atol=2e-3)
 
 
 def test_brick_nablas_custom_vjp_cpu(rng):
