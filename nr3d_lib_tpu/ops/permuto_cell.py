@@ -260,6 +260,67 @@ def _fwd_kernel(meta: PermutoCellMeta, lc: int, tile: int,
                             ).astype(out_ref.dtype)
 
 
+def _fwd_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
+                   rows_ref, lane_ref, bary_ref, table_ref, m_ref,
+                   out_ref, buf_a, buf_b):
+    """Software-pipelined forward (same scheme as lotd_brick
+    `_fwd_kernel_v3`, which measured 15.0 vs 23.5 cyc/pt): block j+1's
+    scalar row gathers interleave with block j's VPU extraction, A/B
+    buffers alternating by block parity."""
+    from jax.experimental import pallas as pl
+
+    nblk = tile // block
+    assert nblk % 2 == 0
+    stride = meta.stride
+    shift = stride.bit_length() - 1
+    vp = meta.vp
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+    lvl = jnp.minimum(lane_i >> shift, lc - 1)
+    q = lane_i & (stride - 1)
+    k = q >> 1
+    f = q & 1
+    sel = jnp.minimum(lvl * vp + k, LANES - 1)
+
+    def gather_level(buf, base, l):
+        for kk in range(block):
+            buf[pl.ds(l * block + kk, 1), :] = \
+                table_ref[pl.ds(rows_ref[l, base + kk], 1), :]
+
+    def process(buf, base, next_base):
+        lane_blk = lane_ref[pl.ds(base, block), :]
+        bary_blk = bary_ref[pl.ds(base, block), :]
+        lane_pad = jnp.pad(lane_blk,
+                           ((0, 0), (0, LANES - lane_blk.shape[1])))
+        bary_pad = jnp.pad(bary_blk,
+                           ((0, 0), (0, LANES - bary_blk.shape[1])))
+        wanted = jnp.take_along_axis(lane_pad, sel, axis=1) + f
+        w = jnp.take_along_axis(bary_pad, sel, axis=1)
+        other = buf_b if buf is buf_a else buf_a
+        g = jnp.zeros((block, LANES), buf.dtype)
+        for l in range(lc):
+            @pl.when(next_base < tile)
+            def _(l=l):
+                gather_level(other, next_base, l)
+
+            rows_l = buf[pl.ds(l * block, block), :]
+            g_l = jnp.take_along_axis(rows_l, wanted, axis=1)
+            g = jnp.where(lvl == l, g_l, g)
+        out_ref[pl.ds(base, block), :] = jnp.dot(
+            g * w, m_ref[:], preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
+
+    for l in range(lc):
+        gather_level(buf_a, 0, l)
+
+    def body(j, _):
+        b0 = 2 * j * block
+        process(buf_a, b0, b0 + block)
+        process(buf_b, b0 + block, b0 + 2 * block)
+        return 0
+
+    jax.lax.fori_loop(0, nblk // 2, body, 0)
+
+
 def _bwd_kernel(meta: PermutoCellMeta, lc: int, tile: int,
                 rows_ref, lane_ref, bary_ref, gup_ref,
                 dtab_ref, scratch_ref):
@@ -425,6 +486,8 @@ def _bwd_full_kernel(meta: PermutoCellMeta, lc: int, tile: int,
 
 
 _MAX_CHUNK = 1 << 19
+_FWD_VERSION = 3      # 3 = software-pipelined fwd; 2 = phase-serial
+_FWD_BLOCK = 1024     # points per pipeline stage (see lotd_brick A/B)
 
 
 def _pad_points(x: Array, tile: int):
@@ -465,7 +528,14 @@ def _encode_pallas(x: Array, table: Array, meta: PermutoCellMeta,
         rows, lane_c, bary_c = _prologue(x, meta, table.dtype, group)
         rows = rows - base
         m = jnp.asarray(_reduce_matrix(meta, lc), table.dtype)
-        kernel = functools.partial(_fwd_kernel, meta, lc, tile)
+        block = _FWD_BLOCK
+        if _FWD_VERSION == 3 and tile % (2 * block) == 0:
+            kernel = functools.partial(_fwd_kernel_v3, meta, lc, tile, block)
+            scratch = [pltpu.VMEM((lc * block, LANES), table.dtype)
+                       for _ in range(2)]
+        else:
+            kernel = functools.partial(_fwd_kernel, meta, lc, tile)
+            scratch = [pltpu.VMEM((lc * tile, LANES), table.dtype)]
         y = pl.pallas_call(
             kernel,
             grid=(n_pad // tile,),
@@ -479,7 +549,7 @@ def _encode_pallas(x: Array, table: Array, meta: PermutoCellMeta,
             ],
             out_specs=pl.BlockSpec((tile, 2 * lc), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((n_pad, 2 * lc), table.dtype),
-            scratch_shapes=[pltpu.VMEM((lc * tile, LANES), table.dtype)],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,

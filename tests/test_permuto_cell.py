@@ -55,10 +55,19 @@ def test_pallas_interpret_parity(rng):
                             .astype(np.float32))
         x = jnp.asarray(rng.uniform(0.0, 1.0, (512, d)).astype(np.float32))
         y_ref = PC.permuto_cell_encode_xla(x, table, meta)
-        y_k = PC._encode_pallas(x, table, meta, tile=256, interpret=True)
-        np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
-                                   rtol=2e-4, atol=2e-4,
-                                   err_msg=f"d={d} L={len(res)}")
+        # both the pipelined v3 (block=128 so the 256-tile triggers it)
+        # and the phase-serial v2 kernels
+        saved = (PC._FWD_VERSION, PC._FWD_BLOCK)
+        try:
+            for ver, blk in ((3, 128), (2, 128)):
+                PC._FWD_VERSION, PC._FWD_BLOCK = ver, blk
+                y_k = PC._encode_pallas(x, table, meta, tile=256,
+                                        interpret=True)
+                np.testing.assert_allclose(
+                    np.asarray(y_k), np.asarray(y_ref), rtol=2e-4,
+                    atol=2e-4, err_msg=f"d={d} L={len(res)} v{ver}")
+        finally:
+            PC._FWD_VERSION, PC._FWD_BLOCK = saved
 
 
 def test_pallas_backward_interpret_parity(rng):
