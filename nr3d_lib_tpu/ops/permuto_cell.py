@@ -373,6 +373,71 @@ def _bwd_kernel(meta: PermutoCellMeta, lc: int, tile: int,
     jax.lax.fori_loop(0, tile // INNER, scatter_body, 0)
 
 
+def _slab_level(meta, lc, block, lane_pad, bary_pad, gup_pad, lane_i, l):
+    """Block-sized scatter slab for level l (shared by the v3 backwards)."""
+    vp = meta.vp
+    d = meta.n_dims
+    slab = jnp.zeros((block, LANES), bary_pad.dtype)
+    g0 = jnp.take_along_axis(
+        gup_pad, jnp.full((block, LANES), 2 * l, jnp.int32), axis=1)
+    g1 = jnp.take_along_axis(
+        gup_pad, jnp.full((block, LANES), 2 * l + 1, jnp.int32), axis=1)
+    for k in range(d + 1):
+        sel = jnp.full((block, LANES), l * vp + k, jnp.int32)
+        lk = jnp.take_along_axis(lane_pad, sel, axis=1)
+        bk = jnp.take_along_axis(bary_pad, sel, axis=1)
+        slab = slab + jnp.where(lane_i == lk, bk * g0, 0.0)
+        slab = slab + jnp.where(lane_i == lk + 1, bk * g1, 0.0)
+    return slab
+
+
+def _bwd_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
+                   rows_ref, lane_ref, bary_ref, gup_ref,
+                   dtab_ref, sbuf_a, sbuf_b):
+    """Software-pipelined table-only backward: block j's slab build (VPU)
+    interleaves with block j−1's scatter-add (scalar core), A/B staging."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dtab_ref[:, :] = jnp.zeros_like(dtab_ref)
+
+    nblk = tile // block
+    assert nblk % 2 == 0
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+
+    def scatter_level(sbuf, base, l):
+        for kk in range(block):
+            r = rows_ref[l, base + kk]
+            dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
+                sbuf[pl.ds(l * block + kk, 1), :]
+
+    def process(sbuf, base, prev_base, prev_sbuf):
+        lane_pad = jnp.pad(lane_ref[pl.ds(base, block), :],
+                           ((0, 0), (0, LANES - lane_ref.shape[1])))
+        bary_pad = jnp.pad(bary_ref[pl.ds(base, block), :],
+                           ((0, 0), (0, LANES - bary_ref.shape[1])))
+        gup_pad = jnp.pad(gup_ref[pl.ds(base, block), :],
+                          ((0, 0), (0, LANES - gup_ref.shape[1])))
+        for l in range(lc):
+            @pl.when(prev_base >= 0)
+            def _(l=l):
+                scatter_level(prev_sbuf, prev_base, l)
+
+            sbuf[pl.ds(l * block, block), :] = _slab_level(
+                meta, lc, block, lane_pad, bary_pad, gup_pad, lane_i, l)
+
+    def body(j, _):
+        b0 = 2 * j * block
+        process(sbuf_a, b0, b0 - block, sbuf_b)
+        process(sbuf_b, b0 + block, b0, sbuf_a)
+        return 0
+
+    jax.lax.fori_loop(0, nblk // 2, body, 0)
+    for l in range(lc):
+        scatter_level(sbuf_b, tile - block, l)
+
+
 def _dx_weight_matrix(meta: PermutoCellMeta,
                       group: Sequence[PermutoCellLevel]) -> np.ndarray:
     """[128, n_dims] matrix turning the packed dL/delevated lanes
@@ -485,6 +550,97 @@ def _bwd_full_kernel(meta: PermutoCellMeta, lc: int, tile: int,
     jax.lax.fori_loop(0, tile // INNER, scatter_body, 0)
 
 
+def _bwd_full_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int,
+                        block: int,
+                        rows_ref, lane_ref, bary_ref, gup_ref,
+                        sel1_ref, sel2_ref, wmat_ref, table_ref,
+                        dtab_ref, dx_ref, gbuf_a, gbuf_b, sbuf_a, sbuf_b):
+    """Software-pipelined full backward: gather j+1 and scatter j−1
+    interleave with block j's dx/slab vector math (scheme of lotd_brick
+    `_bwd_kernel_v3`)."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dtab_ref[:, :] = jnp.zeros_like(dtab_ref)
+
+    nblk = tile // block
+    assert nblk % 2 == 0
+    stride = meta.stride
+    shift = stride.bit_length() - 1
+    vp = meta.vp
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+    lvl = jnp.minimum(lane_i >> shift, lc - 1)
+    q = lane_i & (stride - 1)
+    kv = q >> 1
+    f = q & 1
+    sel = jnp.minimum(lvl * vp + kv, LANES - 1)
+
+    def gather_level(buf, base, l):
+        for kk in range(block):
+            buf[pl.ds(l * block + kk, 1), :] = \
+                table_ref[pl.ds(rows_ref[l, base + kk], 1), :]
+
+    def scatter_level(sbuf, base, l):
+        for kk in range(block):
+            r = rows_ref[l, base + kk]
+            dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
+                sbuf[pl.ds(l * block + kk, 1), :]
+
+    def process(gbuf, sbuf, base, next_base, prev_base, prev_sbuf):
+        lane_pad = jnp.pad(lane_ref[pl.ds(base, block), :],
+                           ((0, 0), (0, LANES - lane_ref.shape[1])))
+        bary_pad = jnp.pad(bary_ref[pl.ds(base, block), :],
+                           ((0, 0), (0, LANES - bary_ref.shape[1])))
+        gup_pad = jnp.pad(gup_ref[pl.ds(base, block), :],
+                          ((0, 0), (0, LANES - gup_ref.shape[1])))
+        wanted = jnp.take_along_axis(lane_pad, sel, axis=1) + f
+        other = gbuf_b if gbuf is gbuf_a else gbuf_a
+        g = jnp.zeros((block, LANES), gbuf.dtype)
+        for l in range(lc):
+            @pl.when(next_base < tile)
+            def _(l=l):
+                gather_level(other, next_base, l)
+
+            @pl.when(prev_base >= 0)
+            def _(l=l):
+                scatter_level(prev_sbuf, prev_base, l)
+
+            rows_l = gbuf[pl.ds(l * block, block), :]
+            g_l = jnp.take_along_axis(rows_l, wanted, axis=1)
+            g = jnp.where(lvl == l, g_l, g)
+
+        lane_b = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+        gb = jnp.take_along_axis(gup_pad, lvl * 2 + (lane_b & 1), axis=1)
+        gbg = gb * g
+        gfsum = gbg + jnp.take_along_axis(gbg, lane_b ^ 1, axis=1)
+        delev = (jnp.take_along_axis(gfsum, sel1_ref[pl.ds(base, block), :],
+                                     axis=1)
+                 - jnp.take_along_axis(gfsum,
+                                       sel2_ref[pl.ds(base, block), :],
+                                       axis=1))
+        dx_ref[pl.ds(base, block), :] = jnp.dot(
+            delev, wmat_ref[:], preferred_element_type=jnp.float32
+        ).astype(dx_ref.dtype)
+
+        for l in range(lc):
+            sbuf[pl.ds(l * block, block), :] = _slab_level(
+                meta, lc, block, lane_pad, bary_pad, gup_pad, lane_b, l)
+
+    for l in range(lc):
+        gather_level(gbuf_a, 0, l)
+
+    def body(j, _):
+        b0 = 2 * j * block
+        process(gbuf_a, sbuf_a, b0, b0 + block, b0 - block, sbuf_b)
+        process(gbuf_b, sbuf_b, b0 + block, b0 + 2 * block, b0, sbuf_a)
+        return 0
+
+    jax.lax.fori_loop(0, nblk // 2, body, 0)
+    for l in range(lc):
+        scatter_level(sbuf_b, tile - block, l)
+
+
 _MAX_CHUNK = 1 << 19
 _FWD_VERSION = 3      # 3 = software-pipelined fwd; 2 = phase-serial
 _FWD_BLOCK = 1024     # points per pipeline stage (see lotd_brick A/B)
@@ -590,7 +746,14 @@ def _bwd_table_pallas(g_up: Array, x: Array, meta: PermutoCellMeta,
         rows = rows - base
         gup_g = jax.lax.dynamic_slice_in_dim(
             g_up, 2 * gi * meta.levels_per_call, 2 * lc, axis=1)
-        kernel = functools.partial(_bwd_kernel, meta, lc, tile)
+        block = _FWD_BLOCK
+        if _FWD_VERSION == 3 and tile % (2 * block) == 0:
+            kernel = functools.partial(_bwd_kernel_v3, meta, lc, tile, block)
+            scratch = [pltpu.VMEM((lc * block, LANES), dtype)
+                       for _ in range(2)]
+        else:
+            kernel = functools.partial(_bwd_kernel, meta, lc, tile)
+            scratch = [pltpu.VMEM((lc * tile, LANES), dtype)]
         d = pl.pallas_call(
             kernel,
             grid=(n_pad // tile,),
@@ -604,7 +767,7 @@ def _bwd_table_pallas(g_up: Array, x: Array, meta: PermutoCellMeta,
             out_specs=pl.BlockSpec((g_rows, LANES), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((g_rows, LANES), dtype),
-            scratch_shapes=[pltpu.VMEM((lc * tile, LANES), dtype)],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
@@ -669,7 +832,15 @@ def _bwd_full_pallas(g_up: Array, x: Array, table: Array,
         gup_g = jax.lax.dynamic_slice_in_dim(
             g_up, 2 * gi * meta.levels_per_call, 2 * lc, axis=1)
         wmat = jnp.asarray(_dx_weight_matrix(meta, group), table.dtype)
-        kernel = functools.partial(_bwd_full_kernel, meta, lc, tile)
+        block = _FWD_BLOCK
+        if _FWD_VERSION == 3 and tile % (2 * block) == 0:
+            kernel = functools.partial(_bwd_full_kernel_v3, meta, lc, tile,
+                                       block)
+            scratch = [pltpu.VMEM((lc * block, LANES), table.dtype)
+                       for _ in range(4)]
+        else:
+            kernel = functools.partial(_bwd_full_kernel, meta, lc, tile)
+            scratch = [pltpu.VMEM((lc * tile, LANES), table.dtype)]
         dtab_g, dx_g = pl.pallas_call(
             kernel,
             grid=(n_pad // tile,),
@@ -693,7 +864,7 @@ def _bwd_full_pallas(g_up: Array, x: Array, table: Array,
                 jax.ShapeDtypeStruct((g_rows, LANES), table.dtype),
                 jax.ShapeDtypeStruct((n_pad, d), table.dtype),
             ),
-            scratch_shapes=[pltpu.VMEM((lc * tile, LANES), table.dtype)],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,

@@ -79,10 +79,18 @@ def test_pallas_backward_interpret_parity(rng):
     _, vjp_fn = jax.vjp(
         lambda tt: PC.permuto_cell_encode_xla(x, tt, meta), table)
     dtab_ref = vjp_fn(g)[0]
-    dtab_k = PC._bwd_table_pallas(g, x, meta, jnp.float32, tile=256,
-                                  interpret=True)
-    np.testing.assert_allclose(np.asarray(dtab_k), np.asarray(dtab_ref),
-                               rtol=2e-4, atol=2e-4)
+    saved = (PC._FWD_VERSION, PC._FWD_BLOCK)
+    try:
+        for ver, blk in ((3, 128), (2, 128)):
+            PC._FWD_VERSION, PC._FWD_BLOCK = ver, blk
+            dtab_k = PC._bwd_table_pallas(g, x, meta, jnp.float32, tile=256,
+                                          interpret=True)
+            np.testing.assert_allclose(np.asarray(dtab_k),
+                                       np.asarray(dtab_ref),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"v{ver}")
+    finally:
+        PC._FWD_VERSION, PC._FWD_BLOCK = saved
 
 
 def test_custom_vjp_cpu_matches_autodiff(rng):
@@ -178,11 +186,20 @@ def test_pallas_full_backward_interpret_parity(rng):
         _, vjp_fn = jax.vjp(
             lambda xx, tt: PC.permuto_cell_encode_xla(xx, tt, meta), x, table)
         dx_ref, dtab_ref = vjp_fn(g)
-        dx_k, dtab_k = PC._bwd_full_pallas(g, x, table, meta, tile=256,
-                                           interpret=True)
-        np.testing.assert_allclose(np.asarray(dtab_k), np.asarray(dtab_ref),
-                                   rtol=2e-4, atol=2e-4,
-                                   err_msg=f"dtab d={d} L={len(res)}")
-        np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_ref),
-                                   rtol=2e-3, atol=2e-3,
-                                   err_msg=f"dx d={d} L={len(res)}")
+        saved = (PC._FWD_VERSION, PC._FWD_BLOCK)
+        # v3 only on the small configs — the 18-level one interprets
+        # slowly and the pipelined path is config-independent
+        vers = ((3, 128), (2, 128)) if len(res) <= 2 else ((2, 128),)
+        try:
+            for ver, blk in vers:
+                PC._FWD_VERSION, PC._FWD_BLOCK = ver, blk
+                dx_k, dtab_k = PC._bwd_full_pallas(g, x, table, meta,
+                                                   tile=256, interpret=True)
+                np.testing.assert_allclose(
+                    np.asarray(dtab_k), np.asarray(dtab_ref), rtol=2e-4,
+                    atol=2e-4, err_msg=f"dtab d={d} L={len(res)} v{ver}")
+                np.testing.assert_allclose(
+                    np.asarray(dx_k), np.asarray(dx_ref), rtol=2e-3,
+                    atol=2e-3, err_msg=f"dx d={d} L={len(res)} v{ver}")
+        finally:
+            PC._FWD_VERSION, PC._FWD_BLOCK = saved
