@@ -58,31 +58,42 @@ class ForestBlockSpace(nnx.Module):
         self._block_coords = jnp.asarray(coords, jnp.int32)  # [n_trees, 3]
         self._build_hierarchy()
 
-    def _build_hierarchy(self, factor: int = 4):
-        """Two-level culling structure over the occupied blocks — the
+    def _build_hierarchy(self, factor: int = 4, max_top: int = 4096):
+        """N-level culling structure over the occupied blocks — the
         TPU-native stand-in for the reference's SPC octree levels (reference
         spatial/forest.py:305-396 + kaolin raytrace): supercells of
-        `factor`³ blocks with a padded member-slot list each. Ray tests cull
-        against the (few) occupied supercells first and only slab-test the
-        member blocks of the nearest hits, making `ray_test_segments`
-        O(n_super + K·factor³) per ray instead of O(n_trees) — the same
-        asymptotic as one octree descent, with static shapes and no pointer
-        chasing."""
+        `factor`³ children per level, stacked until the coarsest level has
+        ≤ `max_top` cells. Ray tests dense-test the coarsest level, then
+        descend — expand the K nearest hits' children, slab-test, keep K —
+        making `ray_test_segments` O(S_top + T·K·factor³) per ray instead of
+        O(n_trees): the SPC octree descent as T static-shape passes, no
+        pointer chasing. A single super level reproduces the round-2
+        two-level structure."""
         self._hier_factor = int(factor)
         coords = np.asarray(self._block_coords)
+        self._hier_coords = []   # level i ≥ 1 cell coords [S_i, 3]
+        self._hier_members = []  # level i cell → level i−1 children [S_i,f³]
         if len(coords) == 0:
             self._super_coords = jnp.zeros((0, 3), jnp.int32)
             self._super_members = jnp.zeros((0, factor ** 3), jnp.int32)
             return
-        sc = coords // factor                                     # [B,3]
-        uniq, inv = np.unique(sc, axis=0, return_inverse=True)    # [S,3]
-        members = -np.ones((len(uniq), factor ** 3), np.int32)
-        fill = np.zeros(len(uniq), np.int64)
-        for slot, s in enumerate(inv):
-            members[s, fill[s]] = slot
-            fill[s] += 1
-        self._super_coords = jnp.asarray(uniq, jnp.int32)
-        self._super_members = jnp.asarray(members)
+        cur = coords
+        while True:
+            sc = cur // factor                                    # [C,3]
+            uniq, inv = np.unique(sc, axis=0, return_inverse=True)
+            members = -np.ones((len(uniq), factor ** 3), np.int32)
+            fill = np.zeros(len(uniq), np.int64)
+            for slot, s in enumerate(inv):
+                members[s, fill[s]] = slot
+                fill[s] += 1
+            self._hier_coords.append(jnp.asarray(uniq, jnp.int32))
+            self._hier_members.append(jnp.asarray(members))
+            cur = uniq
+            if len(uniq) <= max_top or len(self._hier_coords) >= 4:
+                break
+        # legacy two-level aliases (first super level)
+        self._super_coords = self._hier_coords[0]
+        self._super_members = self._hier_members[0]
 
     def populate_from_corners(self, corners):
         """corners: [N,3] integer block coords (reference
@@ -251,32 +262,56 @@ class ForestBlockSpace(nnx.Module):
                   + self._block_coords.astype(rays_o.dtype) * self.block_size)
         if hierarchy and self._super_coords.shape[0] > 0:
             f = self._hier_factor
-            s_lo = (self.origin[...][None]
-                    + self._super_coords.astype(rays_o.dtype)
-                    * (self.block_size * f))
-            ts_in, ts_out = self._slab(s_lo, s_lo + self.block_size * f,
-                                       rays_o, rays_d)             # [R,S]
-            s_hit = (jnp.maximum(ts_in, t_lo[:, None])
-                     < jnp.minimum(ts_out, t_hi[:, None]))
-            kc = min(int(coarse_keep), ts_in.shape[1])
-            s_order = jnp.argsort(jnp.where(s_hit, ts_in, jnp.inf),
-                                  axis=1)[:, :kc]                  # [R,Kc]
-            s_kept = jnp.take_along_axis(s_hit, s_order, axis=1)
-            cand = self._super_members[s_order]                    # [R,Kc,M]
-            cand = jnp.where(s_kept[..., None], cand, -1
-                             ).reshape(r_n, kc * f ** 3)           # [R,C]
-            safe = jnp.maximum(cand, 0)
-            lo = blk_lo[safe]                                      # [R,C,3]
+            T = len(self._hier_coords)                 # super levels, ≥ 1
+            kc = int(coarse_keep)
             o = rays_o[:, None, :]
             inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-12,
                                     jnp.full_like(rays_d, 1e-12), rays_d)
             inv_d = inv_d[:, None, :]
-            t1 = (lo - o) * inv_d
-            t2 = (lo + self.block_size - o) * inv_d
-            t_in = jnp.max(jnp.minimum(t1, t2), axis=-1)           # [R,C]
-            t_out = jnp.min(jnp.maximum(t1, t2), axis=-1)
-            valid = cand >= 0
-            bidx_cand = cand
+
+            def boxes_t(lo, size):
+                t1 = (lo - o) * inv_d
+                t2 = (lo + size - o) * inv_d
+                return (jnp.max(jnp.minimum(t1, t2), -1),
+                        jnp.min(jnp.maximum(t1, t2), -1))
+
+            # dense test of the coarsest level
+            size_T = self.block_size * f ** T
+            s_lo = (self.origin[...][None]
+                    + self._hier_coords[T - 1].astype(rays_o.dtype) * size_T)
+            ts_in, ts_out = self._slab(s_lo, s_lo + size_T, rays_o, rays_d)
+            s_hit = (jnp.maximum(ts_in, t_lo[:, None])
+                     < jnp.minimum(ts_out, t_hi[:, None]))
+            kT = min(kc, ts_in.shape[1])
+            order0 = jnp.argsort(jnp.where(s_hit, ts_in, jnp.inf),
+                                 axis=1)[:, :kT]                    # [R,K]
+            kept_idx = order0
+            kept_valid = jnp.take_along_axis(s_hit, order0, axis=1)
+
+            # descend: expand children of the K nearest hits per level
+            for i in range(T, 0, -1):
+                cand = self._hier_members[i - 1][kept_idx]     # [R,K,f³]
+                cand = jnp.where(kept_valid[..., None], cand, -1
+                                 ).reshape(r_n, -1)            # [R,K·f³]
+                safe = jnp.maximum(cand, 0)
+                size_c = self.block_size * f ** (i - 1)
+                if i - 1 == 0:
+                    lo = blk_lo[safe]
+                else:
+                    lo = (self.origin[...][None]
+                          + self._hier_coords[i - 2].astype(rays_o.dtype)
+                          [safe] * size_c)
+                t_in, t_out = boxes_t(lo, size_c)              # [R,K·f³]
+                valid = ((cand >= 0)
+                         & (jnp.maximum(t_in, t_lo[:, None])
+                            < jnp.minimum(t_out, t_hi[:, None])))
+                if i - 1 == 0:
+                    bidx_cand = cand
+                    break
+                korder = jnp.argsort(jnp.where(valid, t_in, jnp.inf),
+                                     axis=1)[:, :kc]
+                kept_idx = jnp.take_along_axis(safe, korder, axis=1)
+                kept_valid = jnp.take_along_axis(valid, korder, axis=1)
         else:
             t_in, t_out = self._slab(blk_lo, blk_lo + self.block_size,
                                      rays_o, rays_d)               # [R,B]

@@ -279,3 +279,47 @@ def test_forest_hierarchical_segments_parity():
     for r in range(n):
         tt = ti[r][msk[r]]
         assert (np.diff(tt) >= -1e-6).all()
+
+
+def test_forest_deep_hierarchy_parity():
+    """N-level descent (max_top forces 3 super levels on a small forest):
+    segments must match the dense path when coarse_keep covers every hit,
+    and the hierarchy must actually be deep."""
+    from nr3d_lib_tpu.models.spatial.forest import ForestBlockSpace
+
+    rng = np.random.default_rng(1)
+    sp = ForestBlockSpace(resolution=(64, 64, 8), origin=(-8.0, -8.0, -1.0),
+                          block_size=0.25)
+    ix = np.arange(64)
+    road = np.stack([ix, (16 + 0.6 * ix).astype(np.int64) % 64,
+                     np.full(64, 3)], -1)
+    blocks = np.unique(np.concatenate(
+        [road + off for off in [[0, 0, 0], [0, 2, 0], [3, 0, 0]]]), axis=0)
+    blocks = np.clip(blocks, 0, [63, 63, 7])
+    sp.populate_from_corners(blocks)
+    # rebuild with factor 2 and a tiny top cap → several super levels
+    sp._build_hierarchy(factor=2, max_top=4)
+    assert len(sp._hier_coords) >= 3, [c.shape for c in sp._hier_coords]
+
+    n = 48
+    o = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    o[:, 2] = rng.uniform(1.5, 3.0, n)
+    tgt = np.asarray(sp.block_coords)[rng.integers(0, sp.n_trees, n)]
+    tgt = (np.asarray(sp.origin[...]) + (tgt + rng.random((n, 3)))
+           * sp.block_size).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    dense = sp.ray_test_segments(jnp.asarray(o), jnp.asarray(d),
+                                 max_segments=16, hierarchy=False)
+    hier = sp.ray_test_segments(jnp.asarray(o), jnp.asarray(d),
+                                max_segments=16, hierarchy=True,
+                                coarse_keep=64)
+    assert np.asarray(dense["mask"]).any()
+    for k in ["seg_bidx", "seg_mask", "n_segs", "mask"]:
+        np.testing.assert_array_equal(np.asarray(dense[k]),
+                                      np.asarray(hier[k]), err_msg=k)
+    m = np.asarray(dense["seg_mask"])
+    for k in ["seg_t_in", "seg_t_out"]:
+        np.testing.assert_allclose(np.asarray(dense[k])[m],
+                                   np.asarray(hier[k])[m], rtol=1e-5)
