@@ -342,9 +342,45 @@ def _fwd_kernel_v2(meta: BrickMeta, tile: int,
                             ).astype(out_ref.dtype)
 
 
+def _mxu_span(meta: BrickMeta, l: int) -> Tuple[int, int]:
+    """(start, k_pad) of the 128-aligned table slab holding level l's rows."""
+    k_pad = -(-meta.levels[l].n_rows // LANES) * LANES
+    start = min(meta.levels[l].row_offset, meta.total_rows - k_pad)
+    return start, k_pad
+
+
+def _mxu_levels(meta: BrickMeta):
+    """Levels whose rows are fetched by a one-hot MXU matmul instead of
+    scalar gathers: small tables (≤ _MXU_MAX_ROWS rows). Each such level
+    removes ~2 scalar issues/pt from the critical path — the gather-issue
+    pipe is the measured kernel bottleneck (docs/DESIGN.md §3) — while the
+    matmul rides the otherwise-idle MXU. The one-hot compare costs
+    ~k_pad/1024 VPU cyc/pt, so the row cap keeps it below the scalar time
+    it saves. Exact for dense AND hash levels (a one-hot matmul is just a
+    gather)."""
+    if not _MXU_DENSE:
+        return ()
+    return tuple(l for l, lev in enumerate(meta.levels)
+                 if lev.n_rows <= _MXU_MAX_ROWS
+                 and _mxu_span(meta, l)[0] >= 0)
+
+
+def _mxu_rows(meta, table_ref, rowsv_ref, base, block, l):
+    """rows_l [block, 128] for an MXU level: onehot(row_id) @ table_slab."""
+    from jax.experimental import pallas as pl
+
+    start, k_pad = _mxu_span(meta, l)
+    rid = rowsv_ref[pl.ds(base, block), l:l + 1] - start    # [block,1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (block, k_pad), 1)
+    onehot = (iota == rid).astype(table_ref.dtype)
+    tab = table_ref[pl.ds(start, k_pad), :]                 # [k_pad,128]
+    return jnp.dot(onehot, tab, preferred_element_type=jnp.float32
+                   ).astype(table_ref.dtype)
+
+
 def _fwd_kernel_v3(meta: BrickMeta, tile: int, block: int,
-                   rows_ref, lane_ref, frac_ref, table_ref, m_ref,
-                   out_ref, buf_a, buf_b):
+                   rows_ref, lane_ref, frac_ref, rowsv_ref, table_ref,
+                   m_ref, out_ref, buf_a, buf_b):
     """Software-pipelined forward: while the VPU extracts block j from one
     buffer, the scalar core gathers block j+1's rows into the other.
 
@@ -361,8 +397,11 @@ def _fwd_kernel_v3(meta: BrickMeta, tile: int, block: int,
     L = meta.n_levels
     nblk = tile // block
     assert nblk % 2 == 0
+    mxu = _mxu_levels(meta)
 
     def gather_level(buf, base, l):
+        if l in mxu:
+            return
         for k in range(block):
             buf[pl.ds(l * block + k, 1), :] = \
                 table_ref[pl.ds(rows_ref[l, base + k], 1), :]
@@ -389,7 +428,10 @@ def _fwd_kernel_v3(meta: BrickMeta, tile: int, block: int,
             if gather_next is not None:
                 buf_w, base_w = gather_next
                 gather_level(buf_w, base_w, l)
-            rows = buf[pl.ds(l * block, block), :]
+            if l in mxu:
+                rows = _mxu_rows(meta, table_ref, rowsv_ref, base, block, l)
+            else:
+                rows = buf[pl.ds(l * block, block), :]
             g_l = jnp.take_along_axis(rows, wanted, axis=1)
             g = jnp.where(lvl == l, g_l, g)
         frac_pad = jnp.pad(frac_blk,
@@ -518,15 +560,19 @@ def _bwd_kernel_v2(meta: BrickMeta, tile: int, need_dx: bool,
 
 
 def _bwd_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
-                   rows_ref, lane_ref, frac_ref, table_ref, m_ref,
-                   gup_ref, dtab_ref, dx_ref, gbuf_a, gbuf_b,
-                   sbuf_a, sbuf_b):
+                   rows_ref, lane_ref, frac_ref, rowsv_ref, rowsh_ref,
+                   table_ref, m_ref, gup_ref, dtab_ref, dx_ref,
+                   gbuf_a, gbuf_b, sbuf_a, sbuf_b):
     """Software-pipelined backward (same scheme as `_fwd_kernel_v3`): while
     the VPU builds block j's scatter slab (+ dL/dx), the scalar core gathers
     block j+1's table rows into the other gather buffer AND scatter-adds
     block j−1's finished slab into dL/dtable. Blocks alternate A/B buffers
     so every in-flight phase touches disjoint refs; the dtab read-modify-
-    write chain stays in block order (duplicate rows remain correct)."""
+    write chain stays in block order (duplicate rows remain correct).
+
+    MXU levels (`_mxu_levels`) leave the scalar pipe entirely: rows come
+    from a one-hot matmul (as in the forward) and the slab scatter-add is
+    onehotᵀ @ slab — an exact segment-sum into the level's table slab."""
     from jax.experimental import pallas as pl
 
     @pl.when(pl.program_id(0) == 0)
@@ -536,13 +582,28 @@ def _bwd_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
     L = meta.n_levels
     nblk = tile // block
     assert nblk % 2 == 0
+    mxu = _mxu_levels(meta)
 
     def gather_level(buf, base, l):
+        if l in mxu:
+            return
         for k in range(block):
             buf[pl.ds(l * block + k, 1), :] = \
                 table_ref[pl.ds(rows_ref[l, base + k], 1), :]
 
     def scatter_level(sbuf, base, l):
+        if l in mxu:
+            start, k_pad = _mxu_span(meta, l)
+            rid = rowsh_ref[l:l + 1, pl.ds(base, block)] - start  # [1,block]
+            iota0 = jax.lax.broadcasted_iota(jnp.int32, (k_pad, block), 0)
+            onehot_t = (iota0 == rid).astype(dtab_ref.dtype)
+            slab = sbuf[pl.ds(l * block, block), :]
+            dtab_ref[pl.ds(start, k_pad), :] = (
+                dtab_ref[pl.ds(start, k_pad), :]
+                + jnp.dot(onehot_t, slab,
+                          preferred_element_type=jnp.float32
+                          ).astype(dtab_ref.dtype))
+            return
         for k in range(block):
             r = rows_ref[l, base + k]
             dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
@@ -593,7 +654,11 @@ def _bwd_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
                 scatter_level(prev_sbuf, prev_base, l)
 
             if need_dx:
-                rows_l = gbuf[pl.ds(l * block, block), :]
+                if l in mxu:
+                    rows_l = _mxu_rows(meta, table_ref, rowsv_ref, base,
+                                       block, l)
+                else:
+                    rows_l = gbuf[pl.ds(l * block, block), :]
                 g_l = jnp.take_along_axis(rows_l, wanted, axis=1)
                 g = jnp.where(lvl == l, g_l, g)
 
@@ -700,17 +765,21 @@ def _dydx_kernel(meta: BrickMeta, tile: int,
 
 
 def _dydx_kernel_v3(meta: BrickMeta, tile: int, block: int,
-                    rows_ref, lane_ref, frac_ref, table_ref, m_ref, gup_ref,
-                    dx_ref, buf_a, buf_b):
+                    rows_ref, lane_ref, frac_ref, rowsv_ref, table_ref,
+                    m_ref, gup_ref, dx_ref, buf_a, buf_b):
     """Software-pipelined nablas kernel (same scheme as `_fwd_kernel_v3`):
-    block j+1's row gathers interleave with block j's dL/dx vector math."""
+    block j+1's row gathers interleave with block j's dL/dx vector math.
+    MXU levels (`_mxu_levels`) fetch rows by one-hot matmul instead."""
     from jax.experimental import pallas as pl
 
     L = meta.n_levels
     nblk = tile // block
     assert nblk % 2 == 0
+    mxu = _mxu_levels(meta)
 
     def gather_level(buf, base, l):
+        if l in mxu:
+            return
         for k in range(block):
             buf[pl.ds(l * block + k, 1), :] = \
                 table_ref[pl.ds(rows_ref[l, base + k], 1), :]
@@ -743,7 +812,11 @@ def _dydx_kernel_v3(meta: BrickMeta, tile: int, block: int,
             def _(l=l):
                 gather_level(other, next_base, l)
 
-            rows_l = buf[pl.ds(l * block, block), :]
+            if l in mxu:
+                rows_l = _mxu_rows(meta, table_ref, rowsv_ref, base,
+                                   block, l)
+            else:
+                rows_l = buf[pl.ds(l * block, block), :]
             g_l = jnp.take_along_axis(rows_l, wanted, axis=1)
             g = jnp.where(lvl == l, g_l, g)
 
@@ -775,13 +848,14 @@ def _dydx_kernel_v3(meta: BrickMeta, tile: int, block: int,
 
 
 def _bwd2_kernel_v3(meta: BrickMeta, tile: int, block: int,
-                    rows_ref, lane_ref, frac_ref, table_ref, mred_ref,
-                    aux_ref, gup_ref, gg_ref,
+                    rows_ref, lane_ref, frac_ref, rowsv_ref, rowsh_ref,
+                    table_ref, mred_ref, aux_ref, gup_ref, gg_ref,
                     dgup_ref, dtab_ref, dx_ref, gbuf_a, gbuf_b,
                     sbuf_a, sbuf_b):
     """Software-pipelined 2nd-order backward (same scheme as
     `_bwd_kernel_v3`): gather j+1 and scatter j−1 interleave with block j's
-    vector math; semantics identical to `_bwd2_kernel`."""
+    vector math; semantics identical to `_bwd2_kernel`. MXU levels
+    (`_mxu_levels`) gather by one-hot matmul and scatter by onehotᵀ@slab."""
     from jax.experimental import pallas as pl
 
     @pl.when(pl.program_id(0) == 0)
@@ -791,13 +865,28 @@ def _bwd2_kernel_v3(meta: BrickMeta, tile: int, block: int,
     L = meta.n_levels
     nblk = tile // block
     assert nblk % 2 == 0
+    mxu = _mxu_levels(meta)
 
     def gather_level(buf, base, l):
+        if l in mxu:
+            return
         for k in range(block):
             buf[pl.ds(l * block + k, 1), :] = \
                 table_ref[pl.ds(rows_ref[l, base + k], 1), :]
 
     def scatter_level(sbuf, base, l):
+        if l in mxu:
+            start, k_pad = _mxu_span(meta, l)
+            rid = rowsh_ref[l:l + 1, pl.ds(base, block)] - start  # [1,block]
+            iota0 = jax.lax.broadcasted_iota(jnp.int32, (k_pad, block), 0)
+            onehot_t = (iota0 == rid).astype(dtab_ref.dtype)
+            slab = sbuf[pl.ds(l * block, block), :]
+            dtab_ref[pl.ds(start, k_pad), :] = (
+                dtab_ref[pl.ds(start, k_pad), :]
+                + jnp.dot(onehot_t, slab,
+                          preferred_element_type=jnp.float32
+                          ).astype(dtab_ref.dtype))
+            return
         for k in range(block):
             r = rows_ref[l, base + k]
             dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
@@ -837,7 +926,11 @@ def _bwd2_kernel_v3(meta: BrickMeta, tile: int, block: int,
             def _(l=l):
                 scatter_level(prev_sbuf, prev_base, l)
 
-            rows_l = gbuf[pl.ds(l * block, block), :]
+            if l in mxu:
+                rows_l = _mxu_rows(meta, table_ref, rowsv_ref, base,
+                                   block, l)
+            else:
+                rows_l = gbuf[pl.ds(l * block, block), :]
             g_l = jnp.take_along_axis(rows_l, wanted, axis=1)
             g = jnp.where(lvl == l, g_l, g)
 
@@ -1000,6 +1093,9 @@ def _bwd2_kernel(meta: BrickMeta, tile: int,
 
 _MAX_CHUNK = 1 << 19  # Mosaic crashes on very large per-call shapes
 _FWD_VERSION = 3      # 3 = software-pipelined fwd kernel; 2 = phase-serial
+_MXU_DENSE = True     # fetch small levels via one-hot MXU matmul
+_MXU_MAX_ROWS = 2048  # row cap for the MXU gather (VPU one-hot cost grows
+                      # with rows; past ~2k it exceeds the scalar time saved)
 _FWD_BLOCK = 1024     # points per pipeline stage in the v3 kernel
                       # (A/B at 3.6M pts: 1024 -> 15.0 cyc/pt vs v2's
                       # 23.5; smaller blocks pipeline worse)
@@ -1044,9 +1140,28 @@ def _brick_encode_pallas_impl(x: Array, table: Array, meta: BrickMeta,
         kernel = functools.partial(_fwd_kernel_v3, meta, tile, block)
         scratch = [pltpu.VMEM((L * block, LANES), table.dtype),
                    pltpu.VMEM((L * block, LANES), table.dtype)]
-    else:
-        kernel = functools.partial(_fwd_kernel_v2, meta, tile)
-        scratch = [pltpu.VMEM((L * tile, LANES), table.dtype)]
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_pad // tile,),
+            in_specs=[
+                pl.BlockSpec((L, tile), lambda i: (0, i),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, L), lambda i: (i, 0)),
+                pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
+                pl.BlockSpec((tile, L), lambda i: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, 2 * L), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_pad, 2 * L), table.dtype),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(rows, lane_c, frac_c, rows.T, table, m_red)
+        return out[:n]
+    kernel = functools.partial(_fwd_kernel_v2, meta, tile)
+    scratch = [pltpu.VMEM((L * tile, LANES), table.dtype)]
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
@@ -1112,9 +1227,37 @@ def _brick_bwd_pallas_impl(x: Array, table: Array, g_up: Array,
                                    need_dx)
         scratch = [pltpu.VMEM((L * block, LANES), table.dtype)
                    for _ in range(4)]
-    else:
-        kernel = functools.partial(_bwd_kernel_v2, meta, tile, need_dx)
-        scratch = [pltpu.VMEM((L * tile, LANES), table.dtype)]
+        dtab, dx = pl.pallas_call(
+            kernel,
+            grid=(n_pad // tile,),
+            in_specs=[
+                pl.BlockSpec((L, tile), lambda i: (0, i),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, L), lambda i: (i, 0)),
+                pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
+                pl.BlockSpec((tile, L), lambda i: (i, 0)),
+                pl.BlockSpec((L, tile), lambda i: (0, i)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 2 * L), lambda i: (i, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec(table.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 3), lambda i: (i, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct(table.shape, table.dtype),
+                jax.ShapeDtypeStruct((n_pad, 3), table.dtype),
+            ),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(rows, lane_c, frac_c, rows.T, rows, table, m_dx, g_up)
+        return dx[:n], dtab
+    kernel = functools.partial(_bwd_kernel_v2, meta, tile, need_dx)
+    scratch = [pltpu.VMEM((L * tile, LANES), table.dtype)]
     dtab, dx = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
@@ -1234,9 +1377,29 @@ def _brick_dydx_pallas(g_up: Array, x: Array, table: Array, meta: BrickMeta,
         kernel = functools.partial(_dydx_kernel_v3, meta, tile, block)
         scratch = [pltpu.VMEM((L * block, LANES), table.dtype)
                    for _ in range(2)]
-    else:
-        kernel = functools.partial(_dydx_kernel, meta, tile)
-        scratch = [pltpu.VMEM((L * tile, LANES), table.dtype)]
+        dx = pl.pallas_call(
+            kernel,
+            grid=(n_pad // tile,),
+            in_specs=[
+                pl.BlockSpec((L, tile), lambda i: (0, i),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, L), lambda i: (i, 0)),
+                pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
+                pl.BlockSpec((tile, L), lambda i: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 2 * L), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((tile, 3), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_pad, 3), table.dtype),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(rows, lane_c, frac_c, rows.T, table, m_dx, g_up)
+        return dx[:n]
+    kernel = functools.partial(_dydx_kernel, meta, tile)
+    scratch = [pltpu.VMEM((L * tile, LANES), table.dtype)]
     dx = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
@@ -1298,9 +1461,41 @@ def _brick_bwd2_pallas(g_up: Array, x: Array, table: Array, gg: Array,
         kernel = functools.partial(_bwd2_kernel_v3, meta, tile, block)
         scratch = [pltpu.VMEM((L * block, LANES), table.dtype)
                    for _ in range(4)]
-    else:
-        kernel = functools.partial(_bwd2_kernel, meta, tile)
-        scratch = [pltpu.VMEM((L * tile, LANES), table.dtype)]
+        dgup, dtab, dx = pl.pallas_call(
+            kernel,
+            grid=(n_pad // tile,),
+            in_specs=[
+                pl.BlockSpec((L, tile), lambda i: (0, i),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, L), lambda i: (i, 0)),
+                pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
+                pl.BlockSpec((tile, L), lambda i: (i, 0)),
+                pl.BlockSpec((L, tile), lambda i: (0, i)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 2 * L), lambda i: (i, 0)),
+                pl.BlockSpec((tile, 3), lambda i: (i, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((tile, 2 * L), lambda i: (i, 0)),
+                pl.BlockSpec(table.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 3), lambda i: (i, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_pad, 2 * L), table.dtype),
+                jax.ShapeDtypeStruct(table.shape, table.dtype),
+                jax.ShapeDtypeStruct((n_pad, 3), table.dtype),
+            ),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(rows, lane_c, frac_c, rows.T, rows, table, m_red, aux, g_up, gg)
+        return dgup[:n], dx[:n], dtab
+    kernel = functools.partial(_bwd2_kernel, meta, tile)
+    scratch = [pltpu.VMEM((L * tile, LANES), table.dtype)]
     dgup, dtab, dx = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),

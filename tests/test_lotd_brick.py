@@ -15,17 +15,19 @@ class _block(object):
     interpret mode, and it silently falls back to v2 whenever
     tile % (2·block) != 0 — tests pin both knobs explicitly."""
 
-    def __init__(self, block, version=3):
+    def __init__(self, block, version=3, mxu=True):
         self.block = block
         self.version = version
+        self.mxu = mxu
 
     def __enter__(self):
-        self.saved = (B._FWD_BLOCK, B._FWD_VERSION)
+        self.saved = (B._FWD_BLOCK, B._FWD_VERSION, B._MXU_DENSE)
         B._FWD_BLOCK = self.block
         B._FWD_VERSION = self.version
+        B._MXU_DENSE = self.mxu
 
     def __exit__(self, *a):
-        B._FWD_BLOCK, B._FWD_VERSION = self.saved
+        B._FWD_BLOCK, B._FWD_VERSION, B._MXU_DENSE = self.saved
 
 
 def test_meta_and_layout():
@@ -140,9 +142,11 @@ def test_pallas_kernel_interpret_mode(rng):
                         .astype(np.float32))
     x = jnp.asarray(rng.uniform(0.01, 0.99, (300, 3)).astype(np.float32))
     y_ref = B.brick_encode_xla(x, table, bmeta)
-    # v3 (pipelined, block=128 so the 256-tile triggers it) and v2
-    for blk, ver in ((128, 3), (128, 2)):
-        with _block(blk, ver), pltpu.force_tpu_interpret_mode():
+    # v3 (pipelined, block=128 so the 256-tile triggers it) with the one-hot
+    # MXU gather on AND off (both levels are ≤ _MXU_MAX_ROWS, so mxu=False
+    # is what keeps the scalar gather loop covered), and v2
+    for blk, ver, mxu in ((128, 3, True), (128, 3, False), (128, 2, True)):
+        with _block(blk, ver, mxu), pltpu.force_tpu_interpret_mode():
             y_k = B._brick_encode_pallas(x, table, bmeta, tile=256)
         np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
                                    rtol=1e-5, atol=1e-6)
@@ -168,11 +172,15 @@ def test_pallas_backward_interpret_mode(rng):
     g = jnp.asarray(rng.standard_normal((n, 2 * bmeta.n_levels))
                     .astype(np.float32))
 
-    for x in (x_coh, x_rnd):
+    # all four levels are ≤ _MXU_MAX_ROWS: mxu=True runs everything through
+    # the one-hot matmul gather/scatter; mxu=False keeps the scalar
+    # gather/scatter-add loops covered (once — interpret tracing of the
+    # unrolled loops dominates test time)
+    for x, mxu in ((x_coh, True), (x_rnd, True), (x_rnd, False)):
         y_ref, vjp = jax.vjp(lambda xx, tt: B.brick_encode_xla(xx, tt, bmeta),
                              x, table)
         dx_ref, dtab_ref = vjp(g)
-        with _block(256, 3):
+        with _block(256, 3, mxu):
             y = B._brick_encode_pallas_impl(x, table, bmeta, tile=2048,
                                             interpret=True)
             dx, dtab = B._brick_bwd_pallas_impl(x, table, g, bmeta,
