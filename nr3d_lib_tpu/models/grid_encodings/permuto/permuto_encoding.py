@@ -36,12 +36,16 @@ class PermutoParams(nnx.Module):
     def __init__(self, n_dims: int, res_list: Sequence, *,
                  n_feats: int = 2, log2_hashmap_size: int = 18,
                  backend: str = "xla", hashmap_rows: int = 4096,
+                 auto_dense: bool = True,
                  param_init_std: float = 1e-4, seed: int = 0):
         self.backend = backend
         if backend == "cell":
             assert n_feats == 2, "cell backend packs 2 feats/vertex"
+            # auto_dense: coarse levels get collision-free box indexing and
+            # only as many rows as they have reachable cells (VMEM saver)
             self.meta = _pcell.make_permuto_cell_meta(
-                n_dims, res_list, hashmap_rows=hashmap_rows)
+                n_dims, res_list, hashmap_rows=hashmap_rows,
+                auto_dense=auto_dense)
             shape = (self.meta.total_rows, _pcell.LANES)
         else:
             self.meta = _permuto.make_permuto_meta(

