@@ -156,6 +156,54 @@ def main():
     detail["reduce_matmul_tflops"] = round(
         detail["fwd_random_gs"] * 1e9 * 2 * 128 * 16 / 1e12, 3)
 
+    # bf16-packed F=4 variant (ops/lotd_brick4.py): 4 levels × 4 feats =
+    # the same 16 output features as the 8×2 headline at HALF the scalar
+    # gather issues per point — the TPU-optimal configuration of the same
+    # capacity. Reported per-POINT (16 features either way).
+    try:
+        from nr3d_lib_tpu.ops import lotd_brick4 as B4
+
+        meta4 = B4.make_brick4_meta([16, 64, 256, 1024],
+                                    ["Dense", "Hash", "Hash", "Hash"],
+                                    hashmap_rows=4096)
+        tab4 = jax.random.normal(jax.random.key(11),
+                                 (meta4.total_rows, 256), jnp.float32) * 1e-2
+
+        def fwd4(xx, tt, coherent):
+            return B4.brick4_encode(xx, tt, meta4)
+
+        def fwdbwd4(xx, tt, coherent):
+            def loss(t_, x_):
+                return jnp.sum(B4.brick4_encode(x_, t_, meta4) ** 2)
+
+            l, (dt_, dx_) = jax.value_and_grad(loss, argnums=(0, 1))(tt, xx)
+            return l + jnp.sum(dt_[0]) * 1e-30 + jnp.sum(dx_[0]) * 1e-30
+
+        def chain4(run, n):
+            def chained(c, x0, tt):
+                def body(i, carry):
+                    cc, acc = carry
+                    y = run(x0 * (1.0 + cc * 1e-30), tt, False)
+                    s = jnp.sum(y.astype(jnp.float32)) if y.ndim else y
+                    return (s.astype(jnp.float32) * 1e-30,
+                            acc + s.astype(jnp.float32))
+
+                return jax.lax.fori_loop(0, n, body, (c, 0.0))[1]
+
+            return jax.jit(chained)
+
+        for name, run in (("fwd_random_w4_gs", fwd4),
+                          ("fwdbwd_random_w4_gs", fwdbwd4)):
+            lo, hi = chain4(run, 1), chain4(run, 8)
+            float(lo(0.0, x_rand, tab4))
+            float(hi(0.0, x_rand, tab4))
+            t_lo = min(_timed(lo, x_rand, tab4) for _ in range(2))
+            t_hi = min(_timed(hi, x_rand, tab4) for _ in range(2))
+            detail[name] = round(n_pts / ((t_hi - t_lo) / 7) / 1e9, 4)
+            print(f"# {name} = {detail[name]}", file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"# brick4 bench skipped: {e}", file=sys.stderr, flush=True)
+
     # the second flagship encoding: cell-packed permuto (ops/permuto_cell.py
     # — 1 gather/(pt,level); reference csrc/permuto). Same 8-level, 3.6M-pt
     # workload shape.

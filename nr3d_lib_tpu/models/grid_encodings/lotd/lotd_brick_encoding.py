@@ -31,29 +31,44 @@ class LoTDBrickEncoding(nnx.Module):
     def __init__(self, input_ch: int = 3, *,
                  lod_res: Sequence, lod_types: Sequence[str],
                  hashmap_rows: int = 4096,
+                 n_feats: int = 2,
                  param_init_std: float = 1e-4,
                  use_pallas: bool = True,
                  coherent: bool = True,
                  seed: int = 42, param_dtype=jnp.float32):
         """coherent=True: the input stream is ray/Morton-ordered (the
         renderer's case) — group-uniform dedup'd gathers; set False for
-        random-point streams."""
+        random-point streams.
+
+        n_feats=4 selects the bf16-packed variant (`ops/lotd_brick4.py`):
+        4 feats/vertex bit-packed into the same 128-lane rows — half the
+        levels, and half the gather issues, per output feature. ≤4 levels;
+        its kernels are 1st-order (ho routes to the XLA formulation), so
+        prefer it for NeRF-style training and rendering."""
         assert input_ch == 3, "brick backend is 3D"
-        self.meta = B.make_brick_meta(lod_res, lod_types, hashmap_rows)
+        assert n_feats in (2, 4)
+        self.n_feats = n_feats
+        if n_feats == 4:
+            from nr3d_lib_tpu.ops import lotd_brick4 as B4
+
+            self.meta = B4.make_brick4_meta(lod_res, lod_types, hashmap_rows)
+        else:
+            self.meta = B.make_brick_meta(lod_res, lod_types, hashmap_rows)
         self.use_pallas = use_pallas
         self.coherent = coherent
         self.in_features = 3
-        self.out_features = self.meta.out_features
+        self.out_features = self.meta.out_features * (n_feats // 2)
+        row_width = B.LANES * (n_feats // 2)
 
         # canonical parameter layout: [dense vertex grids..., hash rows...]
         sizes: List[int] = []
         self._dense_levels: List[int] = []
         for i, lv in enumerate(self.meta.levels):
             if lv.kind == "dense":
-                sizes.append(int(np.prod(lv.res)) * B.N_FEAT)
+                sizes.append(int(np.prod(lv.res)) * n_feats)
                 self._dense_levels.append(i)
             else:
-                sizes.append(lv.n_rows * B.LANES)
+                sizes.append(lv.n_rows * row_width)
         offsets = [0]
         for sz in sizes:
             offsets.append(offsets[-1] + sz)
@@ -73,8 +88,19 @@ class LoTDBrickEncoding(nnx.Module):
         return self.flattened_params[...][o[i]:o[i + 1]]
 
     def _build_table(self) -> Array:
-        """Materialize the [total_rows, 128] brick table (differentiable —
-        dense boundary vertices stay tied)."""
+        """Materialize the [total_rows, 128·(n_feats//2)] brick table
+        (differentiable — dense boundary vertices stay tied)."""
+        if self.n_feats == 4:
+            from nr3d_lib_tpu.ops import lotd_brick4 as B4
+
+            rows = []
+            for i, lv in enumerate(self.meta.levels):
+                p = self.level_params(i)
+                if lv.kind == "dense":
+                    rows.append(B4.materialize_dense_brick4(p, lv))
+                else:
+                    rows.append(p.reshape(lv.n_rows, 2 * B.LANES))
+            return jnp.concatenate(rows, axis=0)
         rows = []
         for i, lv in enumerate(self.meta.levels):
             p = self.level_params(i)
@@ -86,7 +112,8 @@ class LoTDBrickEncoding(nnx.Module):
 
     def __call__(self, x: Array, ho: bool = False,
                  frozen_x: bool = False) -> Array:
-        """x in [-1,1] → [N, 2·L] (kernel space is [0,1] like the reference).
+        """x in [-1,1] → [N, n_feats·L] (kernel space is [0,1] like the
+        reference).
 
         ho=True switches to the higher-order-differentiable XLA formulation
         (brick_encode_ho) — needed when the caller differentiates through
@@ -95,6 +122,15 @@ class LoTDBrickEncoding(nnx.Module):
         training) — the backward skips the table gather entirely (~1.3×
         faster train step)."""
         table = self._build_table()
+        if self.n_feats == 4:
+            from nr3d_lib_tpu.ops import lotd_brick4 as B4
+
+            if ho:
+                return B4.brick4_encode_xla(x * 0.5 + 0.5, table, self.meta)
+            if frozen_x:
+                return B4.brick4_encode_frozen_x(x * 0.5 + 0.5, table,
+                                                 self.meta)
+            return B4.brick4_encode(x * 0.5 + 0.5, table, self.meta)
         if ho:
             return B.brick_encode_ho(x * 0.5 + 0.5, table, self.meta)
         if frozen_x:
@@ -111,6 +147,15 @@ class LoTDBrickEncoding(nnx.Module):
         an eikonal loss flow to g_up / x / params through it). The 0.5
         folds the [-1,1]→[0,1] input rescale into the chain rule."""
         table = self._build_table()
+        if self.n_feats == 4:
+            # no dedicated 2nd-order kernel for the packed variant: use the
+            # (any-order differentiable) XLA formulation
+            from nr3d_lib_tpu.ops import lotd_brick4 as B4
+
+            _, vjp_fn = jax.vjp(
+                lambda xx: B4.brick4_encode_xla(xx, table, self.meta),
+                x * 0.5 + 0.5)
+            return 0.5 * vjp_fn(g_up)[0]
         return 0.5 * B.brick_nablas(g_up, x * 0.5 + 0.5, table, self.meta)
 
     def state_dict(self):

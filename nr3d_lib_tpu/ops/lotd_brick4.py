@@ -1,0 +1,526 @@
+"""bf16-packed brick LoTD encoding — 4 feats/vertex at one gather.
+
+The F=2 brick path (`ops/lotd_brick.py`) is scalar-gather-issue bound at
+~1.8 cyc per (point, level): the row fetch, not the math, is the wall
+(docs/DESIGN.md §3). This variant doubles the features carried per fetch:
+each 128-lane f32 row bit-packs TWO bf16 features per lane (4
+feats/vertex × 64 vertices), so an encoding with the same total feature
+count needs HALF the levels — and half the scalar issues per point.
+
+Layouts
+  * unpacked (user/param space): f32 [rows, 256], lane u = vertex·4 + f.
+    Parameters live and receive gradients here; values are quantized to
+    bf16 by the packed path (the quantization IS the design — NGP-class
+    encodings train fine in bf16/fp16, cf. the reference's fp16 tables).
+  * packed (kernel space): f32 [rows, 128], lane p = vertex·2 + f2 holding
+    bits bf16(f=2·f2) | bf16(f=2·f2+1) << 16.
+
+Bit-safety: packed values flow ONLY through gathers/selects/stores in the
+kernel (bit-preserving). No arithmetic ever touches packed bits — in
+particular the F=2 path's one-hot MXU gather is NOT used here: an MXU
+multiply-by-one on packed bits would flush the f32-denormal pattern that
+arises whenever the hi feature is ±0 (exponent bits all zero), destroying
+the lo feature's payload. Unpacking is integer shift + `pltpu.bitcast`
+(probe: experiments/mosaic_feature_probe.py, bit-exact).
+
+Reference for behavior: csrc/lotd fp16 hash path (lotd_encoding.h); this
+is a from-scratch TPU design sharing the brick layout of lotd_brick.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nr3d_lib_tpu.ops.lotd_brick import (BRICK_W, LANES, BrickMeta,
+                                         _corner_weights,
+                                         _level_rows_and_lanes, _pad_points,
+                                         _prologue, make_brick_meta,
+                                         vertex_grid_to_brick_rows)
+
+__all__ = ["make_brick4_meta", "brick4_encode", "brick4_encode_frozen_x",
+           "brick4_encode_xla", "pack_table4", "materialize_dense_brick4"]
+
+Array = jax.Array
+
+N_FEAT4 = 4
+_MAX_CHUNK = 1 << 19
+_FWD_BLOCK = 1024
+
+
+def make_brick4_meta(lod_res, lod_types, hashmap_rows: int = 4096
+                     ) -> BrickMeta:
+    """Same brick geometry as the F=2 path (4³ vertices / 3³ cells / same
+    hashing — rows just carry 4 feats); ≤4 levels (32 lanes each)."""
+    meta = make_brick_meta(lod_res, lod_types, hashmap_rows)
+    assert meta.n_levels <= 4, "brick4 packs 32 lanes/level: max 4 levels"
+    return meta
+
+
+# ---------------------------------------------------------------- packing
+def pack_table4(t: Array) -> Array:
+    """unpacked f32 [rows, 256] → packed f32 [rows, 128] (bf16 pairs)."""
+    r = t.shape[0]
+    quad = t.reshape(r, 64, 2, 2)                      # [r, vert, f2, half]
+    bits = jax.lax.bitcast_convert_type(
+        quad.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    u32 = bits[..., 0] | (bits[..., 1] << 16)          # [r, 64, 2]
+    return jax.lax.bitcast_convert_type(u32, jnp.float32).reshape(r, LANES)
+
+
+def _quantize4(t: Array) -> Array:
+    """The packed path's value semantics: params quantized to bf16,
+    straight-through for gradients (the Pallas backward accumulates
+    full-precision cotangents; the XLA fallback must match — a vjp through
+    the cast would round the cotangents to bf16 too)."""
+    q = t.astype(jnp.bfloat16).astype(jnp.float32)
+    return t + jax.lax.stop_gradient(q - t)
+
+
+def materialize_dense_brick4(vertex_params: Array, level) -> Array:
+    """Canonical vertex params [res³·4] → unpacked brick rows [rows, 256].
+    Differentiable; shared boundary vertices stay tied (exact Dense
+    semantics, as in lotd_brick.materialize_dense_brick_table)."""
+    lanes2 = vertex_grid_to_brick_rows(level)          # [rows,128], F=2 lanes
+    flat = lanes2[:, 0::2] // 2                        # [rows, 64] vertex ids
+    idx = flat[:, :, None] * 4 + np.arange(4)[None, None, :]
+    return vertex_params[jnp.asarray(idx.reshape(-1, 256))]
+
+
+# ------------------------------------------------------------ XLA reference
+def brick4_encode_xla(x: Array, table: Array, meta: BrickMeta) -> Array:
+    """Pure-XLA reference (tests, CPU, higher-order autodiff).
+
+    table: UNPACKED [rows, 256]. Returns [N, 4L]. Values are bf16-quantized
+    to match the packed kernel exactly."""
+    tq = _quantize4(table)
+    outs = []
+    for level in meta.levels:
+        row, lane0, frac = _level_rows_and_lanes(x, level)
+        rows = jnp.take(tq, row, axis=0, mode="clip")            # [N,256]
+        vert0 = lane0 // 2
+        corner_v = np.asarray(
+            [(dx * BRICK_W + dy) * BRICK_W + dz
+             for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)], np.int32)
+        lanes = (vert0[:, None] + corner_v[None, :]) * 4          # [N,8]
+        w = _corner_weights(frac).astype(rows.dtype)              # [N,8]
+        for f in range(N_FEAT4):
+            vals = jnp.take_along_axis(rows, lanes + f, axis=1)
+            outs.append(jnp.sum(w * vals, -1))
+    return jnp.stack(outs, axis=-1)
+
+
+# ------------------------------------------------------------ lane patterns
+def _reduce_matrix4(n_levels: int) -> np.ndarray:
+    """[128, 4L]: lane l·32+q sums into output col l·4 + (q&3)."""
+    m = np.zeros((LANES, 4 * n_levels), np.float32)
+    for lane in range(32 * n_levels):
+        m[lane, (lane // 32) * 4 + (lane & 3)] = 1.0
+    return m
+
+
+def _dx_matrix4(meta: BrickMeta) -> np.ndarray:
+    """[128, 4]: per-lane trilinear-derivative sign · (res−2) per axis."""
+    m = np.zeros((LANES, 4), np.float32)
+    for l, level in enumerate(meta.levels):
+        for q in range(32):
+            k = q >> 2
+            bits = ((k >> 2) & 1, (k >> 1) & 1, k & 1)
+            lane = l * 32 + q
+            for a in range(3):
+                m[lane, a] = (2.0 * bits[a] - 1.0) * (level.res[a] - 2)
+    return m
+
+
+def _unpack_bits(g: Array, half: Array) -> Array:
+    """Packed f32 vreg bits → selected bf16 half as f32 (bit-exact)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    u = pltpu.bitcast(g, jnp.uint32)
+    lo = pltpu.bitcast(u << 16, jnp.float32)
+    hi = pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    return jnp.where(half > 0, hi, lo)
+
+
+def _lane_pattern(meta: BrickMeta, block: int):
+    """Shared per-lane decode for the F=4 kernels."""
+    L = meta.n_levels
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+    lvl = jnp.minimum(lane_i >> 5, L - 1)
+    q = lane_i & 31
+    k = q >> 2
+    f = q & 3
+    bits = ((k >> 2) & 1, (k >> 1) & 1, k & 1)
+    # packed-lane delta of (corner, f2) relative to lane0 (= vertex0·2)
+    off = (bits[0] * (BRICK_W * BRICK_W) + bits[1] * BRICK_W + bits[2]) * 2 \
+        + (f >> 1)
+    return lane_i, lvl, q, f, bits, off
+
+
+# -------------------------------------------------------------- fwd kernel
+def _fwd4_kernel_v3(meta: BrickMeta, tile: int, block: int,
+                    rows_ref, lane_ref, frac_ref, table_ref, m_ref,
+                    out_ref, buf_a, buf_b):
+    """Software-pipelined F=4 forward (same A/B scheme as
+    lotd_brick._fwd_kernel_v3: scalar gathers of block j+1 interleave with
+    block j's VPU extraction)."""
+    from jax.experimental import pallas as pl
+
+    L = meta.n_levels
+    nblk = tile // block
+    assert nblk % 2 == 0
+    lane_i, lvl, q, f, bits, off = _lane_pattern(meta, block)
+    half = f & 1
+
+    def gather_level(buf, base, l):
+        for k in range(block):
+            buf[pl.ds(l * block + k, 1), :] = \
+                table_ref[pl.ds(rows_ref[l, base + k], 1), :]
+
+    def extract(buf, base, gather_next):
+        lane_blk = lane_ref[pl.ds(base, block), :]
+        frac_blk = frac_ref[pl.ds(base, block), :]
+        lane_pad = jnp.pad(lane_blk,
+                           ((0, 0), (0, LANES - lane_blk.shape[1])))
+        frac_pad = jnp.pad(frac_blk,
+                           ((0, 0), (0, LANES - frac_blk.shape[1])))
+        lane0 = jnp.take_along_axis(lane_pad, lvl, axis=1)
+        wanted = lane0 + off
+        g = jnp.zeros((block, LANES), buf.dtype)
+        for l in range(L):
+            if gather_next is not None:
+                buf_w, base_w = gather_next
+                gather_level(buf_w, base_w, l)
+            rows = buf[pl.ds(l * block, block), :]
+            g_l = jnp.take_along_axis(rows, wanted, axis=1)
+            g = jnp.where(lvl == l, g_l, g)
+        gval = _unpack_bits(g, half)
+        w = jnp.ones((block, LANES), buf.dtype)
+        for a, bit in enumerate(bits):
+            f_a = jnp.take_along_axis(
+                frac_pad, jnp.minimum(3 * lvl + a, LANES - 1), axis=1)
+            w = w * jnp.where(bit > 0, f_a, 1.0 - f_a)
+        out_ref[pl.ds(base, block), :] = jnp.dot(
+            gval * w, m_ref[:], preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
+
+    for l in range(L):
+        gather_level(buf_a, 0, l)
+
+    def body(j, _):
+        b0 = 2 * j * block
+        extract(buf_a, b0, (buf_b, b0 + block))
+
+        @pl.when(b0 + 2 * block < tile)
+        def _():
+            extract(buf_b, b0 + block, (buf_a, b0 + 2 * block))
+
+        @pl.when(b0 + 2 * block >= tile)
+        def _():
+            extract(buf_b, b0 + block, None)
+
+        return 0
+
+    jax.lax.fori_loop(0, nblk // 2, body, 0)
+
+
+# -------------------------------------------------------------- bwd kernel
+def _bwd4_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
+                    rows_ref, lane_ref, frac_ref, table_ref, m_ref,
+                    gup_ref, dtab_ref, dx_ref, gbuf_a, gbuf_b,
+                    sbuf_a, sbuf_b):
+    """Software-pipelined F=4 backward. dtab_ref: [rows, 256] with the LO
+    half-plane in lanes 0:128 and the HI half-plane in 128:256 (feature f
+    of vertex v at half-plane f&1, lane v·2 + (f>>1)); the public wrapper
+    permutes to the natural unpacked layout."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dtab_ref[:, :] = jnp.zeros_like(dtab_ref)
+
+    L = meta.n_levels
+    nblk = tile // block
+    assert nblk % 2 == 0
+    lane_i, lvl, q, f, bits, off = _lane_pattern(meta, block)
+    half = f & 1
+
+    def gather_level(buf, base, l):
+        for k in range(block):
+            buf[pl.ds(l * block + k, 1), :] = \
+                table_ref[pl.ds(rows_ref[l, base + k], 1), :]
+
+    def scatter_level(sbuf, base, l):
+        for k in range(block):
+            r = rows_ref[l, base + k]
+            dtab_ref[pl.ds(r, 1), 0:LANES] = \
+                dtab_ref[pl.ds(r, 1), 0:LANES] + \
+                sbuf[pl.ds(l * (2 * block) + k, 1), :]
+            dtab_ref[pl.ds(r, 1), LANES:2 * LANES] = \
+                dtab_ref[pl.ds(r, 1), LANES:2 * LANES] + \
+                sbuf[pl.ds(l * (2 * block) + block + k, 1), :]
+
+    def process(gbuf, sbuf, base, next_base, prev_base, prev_sbuf):
+        lane_blk = lane_ref[pl.ds(base, block), :]
+        frac_blk = frac_ref[pl.ds(base, block), :]
+        gup_blk = gup_ref[pl.ds(base, block), :]
+        lane_pad = jnp.pad(lane_blk,
+                           ((0, 0), (0, LANES - lane_blk.shape[1])))
+        frac_pad = jnp.pad(frac_blk,
+                           ((0, 0), (0, LANES - frac_blk.shape[1])))
+        gup_pad = jnp.pad(gup_blk, ((0, 0), (0, LANES - gup_blk.shape[1])))
+        gb = jnp.take_along_axis(gup_pad, lvl * 4 + (q & 3), axis=1)
+
+        s = []
+        for a, bit in enumerate(bits):
+            f_a = jnp.take_along_axis(
+                frac_pad, jnp.minimum(3 * lvl + a, LANES - 1), axis=1)
+            s.append(jnp.where(bit > 0, f_a, 1.0 - f_a))
+        w = s[0] * s[1] * s[2]
+
+        lane0 = jnp.take_along_axis(lane_pad, lvl, axis=1)
+        wanted = lane0 + off
+        other_gbuf = gbuf_b if gbuf is gbuf_a else gbuf_a
+        g = jnp.zeros((block, LANES), gbuf.dtype)
+        for l in range(L):
+            if need_dx:
+                @pl.when(next_base < tile)
+                def _(l=l):
+                    gather_level(other_gbuf, next_base, l)
+
+            @pl.when(prev_base >= 0)
+            def _(l=l):
+                scatter_level(prev_sbuf, prev_base, l)
+
+            if need_dx:
+                rows_l = gbuf[pl.ds(l * block, block), :]
+                g_l = jnp.take_along_axis(rows_l, wanted, axis=1)
+                g = jnp.where(lvl == l, g_l, g)
+
+        if need_dx:
+            gval = _unpack_bits(g, half)
+            h = gb * gval
+            tx = h * s[1] * s[2]
+            ty = h * s[0] * s[2]
+            tz = h * s[0] * s[1]
+            dx0 = jnp.dot(tx, m_ref[:, 0:1],
+                          preferred_element_type=jnp.float32)
+            dx1 = jnp.dot(ty, m_ref[:, 1:2],
+                          preferred_element_type=jnp.float32)
+            dx2 = jnp.dot(tz, m_ref[:, 2:3],
+                          preferred_element_type=jnp.float32)
+            dx_ref[pl.ds(base, block), :] = jnp.concatenate(
+                [dx0, dx1, dx2], axis=-1).astype(dx_ref.dtype)
+        else:
+            dx_ref[pl.ds(base, block), :] = jnp.zeros(
+                (block, 3), dx_ref.dtype)
+
+        # slabs: target packed lane m = lane0 + d, d = 32dx+8dy+2dz+f2;
+        # per half-plane the contribution comes from src lane
+        # l·32 + corner(d)·4 + 2·f2 + half
+        contrib = gb * w
+        for l in range(L):
+            lane0_l = jnp.take_along_axis(
+                lane_pad, jnp.full((block, LANES), l, jnp.int32), axis=1)
+            d = lane_i - lane0_l
+            valid = (d >= 0) & (d <= 43) & ((d & 0b0010100) == 0)
+            dxb = (d >> 5) & 1
+            dyb = (d >> 3) & 1
+            dzb = (d >> 1) & 1
+            qinv = dxb * 4 + dyb * 2 + dzb
+            base_src = jnp.clip(l * 32 + qinv * 4 + (d & 1) * 2, 0,
+                                LANES - 2)
+            for hp in range(2):
+                slab = jnp.where(
+                    valid,
+                    jnp.take_along_axis(contrib, base_src + hp, axis=1),
+                    0.0)
+                sbuf[pl.ds(l * (2 * block) + hp * block, block), :] = slab
+
+    if need_dx:
+        for l in range(L):
+            gather_level(gbuf_a, 0, l)
+
+    def body(j, _):
+        b0 = 2 * j * block
+        process(gbuf_a, sbuf_a, b0, b0 + block, b0 - block, sbuf_b)
+        process(gbuf_b, sbuf_b, b0 + block, b0 + 2 * block, b0, sbuf_a)
+        return 0
+
+    jax.lax.fori_loop(0, nblk // 2, body, 0)
+    for l in range(L):
+        scatter_level(sbuf_b, tile - block, l)
+
+
+# ---------------------------------------------------------------- plumbing
+def _halfplane_to_natural(dtab_hp: Array) -> Array:
+    """[rows, 256] half-plane layout → natural unpacked (lane v·4+f)."""
+    # natural u = v*4 + f  ←  col (f&1)*128 + v*2 + (f>>1)
+    v = np.arange(256) // 4
+    f = np.arange(256) % 4
+    src = (f & 1) * LANES + v * 2 + (f >> 1)
+    return dtab_hp[:, jnp.asarray(src, jnp.int32)]
+
+
+def _brick4_fwd_pallas(x: Array, table_unpacked: Array, meta: BrickMeta,
+                       tile: int = 2048, interpret: bool = False) -> Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n0 = x.shape[0]
+    if n0 > _MAX_CHUNK:
+        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
+        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        return jnp.concatenate(
+            [_brick4_fwd_pallas(xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
+                                table_unpacked, meta, tile, interpret)
+             for i in range(k)], axis=0)[:n0]
+    table = pack_table4(table_unpacked)
+    x, n = _pad_points(x, tile)
+    n_pad = x.shape[0]
+    L = meta.n_levels
+    rows, lane_c, frac_c = _prologue(x, meta, jnp.float32, tile)
+    m_red = jnp.asarray(_reduce_matrix4(L), jnp.float32)
+    block = _FWD_BLOCK if tile % (2 * _FWD_BLOCK) == 0 else tile // 2
+    kernel = functools.partial(_fwd4_kernel_v3, meta, tile, block)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((L, tile), lambda i: (0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, L), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 4 * L), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4 * L), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((L * block, LANES), jnp.float32),
+                        pltpu.VMEM((L * block, LANES), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(rows, lane_c, frac_c, table, m_red)
+    return out[:n]
+
+
+def _brick4_bwd_pallas(x: Array, table_unpacked: Array, g_up: Array,
+                       meta: BrickMeta, tile: int = 2048,
+                       interpret: bool = False, need_dx: bool = True
+                       ) -> Tuple[Array, Array]:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n0 = x.shape[0]
+    if n0 > _MAX_CHUNK:
+        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
+        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        dxs, dtab = [], jnp.zeros_like(table_unpacked)
+        for i in range(k):
+            sl = slice(i * _MAX_CHUNK, (i + 1) * _MAX_CHUNK)
+            dx_i, dt_i = _brick4_bwd_pallas(xp[sl], table_unpacked, gp[sl],
+                                            meta, tile, interpret, need_dx)
+            dxs.append(dx_i)
+            dtab = dtab + dt_i
+        return jnp.concatenate(dxs, axis=0)[:n0], dtab
+    table = pack_table4(table_unpacked)
+    x, n = _pad_points(x, tile)
+    n_pad = x.shape[0]
+    if g_up.shape[0] != n_pad:
+        g_up = jnp.pad(g_up, ((0, n_pad - g_up.shape[0]), (0, 0)))
+    L = meta.n_levels
+    rows, lane_c, frac_c = _prologue(x, meta, jnp.float32, tile)
+    m_dx = jnp.asarray(_dx_matrix4(meta), jnp.float32)
+    block = _FWD_BLOCK if tile % (2 * _FWD_BLOCK) == 0 else tile // 2
+    kernel = functools.partial(_bwd4_kernel_v3, meta, tile, block, need_dx)
+    dtab_hp, dx = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((L, tile), lambda i: (0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, L), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4 * L), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((table.shape[0], 2 * LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((table.shape[0], 2 * LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((L * block, LANES), jnp.float32)
+                        for _ in range(2)] +
+                       [pltpu.VMEM((L * 2 * block, LANES), jnp.float32)
+                        for _ in range(2)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(rows, lane_c, frac_c, table, m_dx, g_up)
+    return dx[:n], _halfplane_to_natural(dtab_hp)
+
+
+# ---------------------------------------------------------------- custom vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def brick4_encode(x: Array, table: Array, meta: BrickMeta) -> Array:
+    """F=4 packed brick encode: [N,3] × unpacked [rows,256] → [N, 4L].
+
+    On TPU, forward and first-order backward run the packed Pallas
+    kernels; elsewhere (and for higher-order autodiff — use the XLA
+    reference directly) the bf16-quantized XLA formulation runs."""
+    if jax.default_backend() == "tpu":
+        return _brick4_fwd_pallas(x, table, meta)
+    return brick4_encode_xla(x, table, meta)
+
+
+def _fwd4(x, table, meta):
+    return brick4_encode(x, table, meta), (x, table)
+
+
+def _bwd4(meta, res, g):
+    x, table = res
+    if jax.default_backend() == "tpu":
+        return _brick4_bwd_pallas(x, table, g, meta)
+    _, vjp_fn = jax.vjp(
+        lambda xx, tt: brick4_encode_xla(xx, tt, meta), x, table)
+    return vjp_fn(g)
+
+
+brick4_encode.defvjp(_fwd4, _bwd4)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def brick4_encode_frozen_x(x: Array, table: Array, meta: BrickMeta) -> Array:
+    """brick4_encode treating x as constant: the backward skips the table
+    gather + unpack entirely (plain radiance-field training)."""
+    x = jax.lax.stop_gradient(x)
+    if jax.default_backend() == "tpu":
+        return _brick4_fwd_pallas(x, table, meta)
+    return brick4_encode_xla(x, table, meta)
+
+
+def _fwd4_frozen(x, table, meta):
+    return brick4_encode_frozen_x(x, table, meta), (x, table)
+
+
+def _bwd4_frozen(meta, res, g):
+    x, table = res
+    if jax.default_backend() == "tpu":
+        _, dtab = _brick4_bwd_pallas(x, table, g, meta, need_dx=False)
+        return jnp.zeros_like(x), dtab
+    _, vjp_fn = jax.vjp(lambda tt: brick4_encode_xla(x, tt, meta), table)
+    return jnp.zeros_like(x), vjp_fn(g)[0]
+
+
+brick4_encode_frozen_x.defvjp(_fwd4_frozen, _bwd4_frozen)
