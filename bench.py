@@ -260,6 +260,12 @@ def main():
         print(f"# render_fwd_brick_compressed_krays = "
               f"{detail['render_fwd_brick_compressed_krays']}",
               file=sys.stderr, flush=True)
+        detail["render_fwd_brick4_compressed_krays"] = round(
+            br.main(use_brick=True, mode="march_occ_compressed",
+                    w4=True) / 1e3, 1)
+        print(f"# render_fwd_brick4_compressed_krays = "
+              f"{detail['render_fwd_brick4_compressed_krays']}",
+              file=sys.stderr, flush=True)
         detail["train_step_nerf_brick_krays"] = round(
             br.main_train(use_brick=True, kind="nerf") / 1e3, 1)
         print(f"# train_step_nerf_brick_krays = "

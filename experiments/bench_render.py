@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(use_brick: bool = False, mode: str = "march_occ",
-         n_rays: int = 8192, compression_factor: float = 0.25):
+         n_rays: int = 8192, compression_factor: float = 0.25,
+         w4: bool = False):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -33,6 +34,13 @@ def main(use_brick: bool = False, mode: str = "march_occ",
         "lod_res": [16, 32, 64, 128, 256, 512], "lod_n_feats": 2,
         "lod_types": ["Dense", "Dense", "Dense", "Hash", "Hash", "Hash"],
         "hashmap_size": 2 ** 17}}
+    if w4:
+        # bf16-packed F=4 (ops/lotd_brick4.py): half the levels carry the
+        # same 12 output features at half the gather issues per point
+        enc_cfg = {"lotd_cfg": {
+            "lod_res": [16, 64, 512], "lod_n_feats": 4,
+            "lod_types": ["Dense", "Hash", "Hash"],
+            "hashmap_size": 2 ** 17}}
     if use_brick:
         enc_cfg["backend"] = "brick"
     qcfg = {"query_mode": mode}
@@ -89,7 +97,8 @@ def main(use_brick: bool = False, mode: str = "march_occ",
     dt = (min(t(f_hi) for _ in range(3)) - min(t(f_lo) for _ in range(3))) / 4
     rays_s = n_rays / dt
     samples = n_rays * 96
-    print(f"render fwd ({'brick' if use_brick else 'xla'} encode, {mode}): "
+    print(f"render fwd ({'brick4' if w4 else 'brick' if use_brick else 'xla'}"
+          f" encode, {mode}): "
           f"{dt*1e3:.2f} ms / {n_rays} rays -> {rays_s/1e3:.1f} Krays/s "
           f"({samples/dt/1e6:.1f} Msamples/s incl. masked)",
           file=sys.stderr)
@@ -211,4 +220,5 @@ if __name__ == "__main__":
         kind = "neus" if "--neus" in sys.argv else "nerf"
         main_train(use_brick="--brick" in sys.argv, kind=kind)
     else:
-        main(use_brick="--brick" in sys.argv, mode=mode)
+        main(use_brick="--brick" in sys.argv, mode=mode,
+             w4="--w4" in sys.argv)

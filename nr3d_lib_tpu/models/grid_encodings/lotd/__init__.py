@@ -17,8 +17,10 @@ def get_lotd_encoding(input_ch: int = 3, *, backend: str = "xla",
         types = lc.get("lod_types", "Dense")
         if isinstance(types, str):
             types = [types] * len(lc["lod_res"])
+        # lod_n_feats=4 selects the bf16-packed variant (ops/lotd_brick4.py)
         enc = LoTDBrickEncoding(input_ch, lod_res=lc["lod_res"],
                                 lod_types=types, hashmap_rows=hashmap_rows,
+                                n_feats=int(lc.get("lod_n_feats", 2)),
                                 seed=seed)
         enc.set_anneal_iter = lambda it: None
         return enc
