@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--brick", action="store_true",
                     help="use the Pallas brick encoding backend")
+    ap.add_argument("--w4", action="store_true",
+                    help="bf16-packed F=4 levels (half the gathers per "
+                         "feature; implies --brick)")
     args = ap.parse_args()
 
     import jax
@@ -48,7 +51,13 @@ def main():
     enc_cfg = {"lotd_cfg": {"lod_res": [16, 32, 64], "lod_n_feats": 2,
                             "lod_types": ["Dense", "Dense", "Hash"],
                             "hashmap_size": 2 ** 14}}
-    if args.brick:
+    if args.w4:
+        # same 6 output features from half the levels (bf16-packed F=4)
+        enc_cfg = {"lotd_cfg": {"lod_res": [16, 48], "lod_n_feats": 4,
+                                "lod_types": ["Dense", "Hash"],
+                                "hashmap_size": 2 ** 14},
+                   "backend": "brick"}
+    elif args.brick:
         enc_cfg["backend"] = "brick"
     model = LoTDNeRFModel(field_cfg={"encoding_cfg": enc_cfg,
                                      "density_decoder_cfg": {"D": 1, "W": 64},

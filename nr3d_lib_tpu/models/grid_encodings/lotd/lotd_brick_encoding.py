@@ -36,9 +36,9 @@ class LoTDBrickEncoding(nnx.Module):
                  use_pallas: bool = True,
                  coherent: bool = True,
                  seed: int = 42, param_dtype=jnp.float32):
-        """coherent=True: the input stream is ray/Morton-ordered (the
-        renderer's case) — group-uniform dedup'd gathers; set False for
-        random-point streams.
+        """coherent: accepted for API stability; the kernel currently uses
+        one uniform gather loop regardless (coherence-exploiting variants
+        measured slower — docs/DESIGN.md §3).
 
         n_feats=4 selects the bf16-packed variant (`ops/lotd_brick4.py`):
         4 feats/vertex bit-packed into the same 128-lane rows — half the
