@@ -148,14 +148,10 @@ class LoTDBrickEncoding(nnx.Module):
         folds the [-1,1]→[0,1] input rescale into the chain rule."""
         table = self._build_table()
         if self.n_feats == 4:
-            # no dedicated 2nd-order kernel for the packed variant: use the
-            # (any-order differentiable) XLA formulation
             from nr3d_lib_tpu.ops import lotd_brick4 as B4
 
-            _, vjp_fn = jax.vjp(
-                lambda xx: B4.brick4_encode_xla(xx, table, self.meta),
-                x * 0.5 + 0.5)
-            return 0.5 * vjp_fn(g_up)[0]
+            return 0.5 * B4.brick4_nablas(g_up, x * 0.5 + 0.5, table,
+                                          self.meta)
         return 0.5 * B.brick_nablas(g_up, x * 0.5 + 0.5, table, self.meta)
 
     def state_dict(self):

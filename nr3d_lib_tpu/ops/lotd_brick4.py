@@ -43,7 +43,8 @@ from nr3d_lib_tpu.ops.lotd_brick import (BRICK_W, LANES, BrickMeta,
                                          vertex_grid_to_brick_rows)
 
 __all__ = ["make_brick4_meta", "brick4_encode", "brick4_encode_frozen_x",
-           "brick4_encode_xla", "pack_table4", "materialize_dense_brick4"]
+           "brick4_encode_xla", "brick4_nablas", "pack_table4",
+           "materialize_dense_brick4"]
 
 Array = jax.Array
 
@@ -469,6 +470,389 @@ def _brick4_bwd_pallas(x: Array, table_unpacked: Array, g_up: Array,
         interpret=interpret,
     )(rows, lane_c, frac_c, table, m_dx, g_up)
     return dx[:n], _halfplane_to_natural(dtab_hp)
+
+
+# ------------------------------------------------------- second-order kernels
+def _aux_patterns4(meta: BrickMeta) -> np.ndarray:
+    """[8, 128] per-lane sign/scale patterns (F=4 layout: 32 lanes/level).
+
+    rows 0-2: D̂_a(lane) = (2·bit_a−1)·(res_a−2); rows 3-5: Â_{ab} =
+    D̂_a·D̂_b for (a,b) ∈ {(0,1),(0,2),(1,2)}. Zero on lanes ≥ 32L."""
+    L = len(meta.levels)
+    m = np.zeros((8, LANES), np.float32)
+    pairs = ((0, 1), (0, 2), (1, 2))
+    for l, level in enumerate(meta.levels):
+        for q in range(32):
+            k = q >> 2
+            bits = ((k >> 2) & 1, (k >> 1) & 1, k & 1)
+            lane = l * 32 + q
+            d = [(2.0 * bits[a] - 1.0) * (level.res[a] - 2)
+                 for a in range(3)]
+            for a in range(3):
+                m[a, lane] = d[a]
+            for p, (a, b) in enumerate(pairs):
+                m[3 + p, lane] = d[a] * d[b]
+    return m
+
+
+def _dydx4_kernel_v3(meta: BrickMeta, tile: int, block: int,
+                     rows_ref, lane_ref, frac_ref, table_ref, m_ref,
+                     gup_ref, dx_ref, buf_a, buf_b):
+    """F=4 nablas kernel (dL/dx only): pipelined like the F=2
+    `_dydx_kernel_v3`, with the packed-row unpack."""
+    from jax.experimental import pallas as pl
+
+    L = meta.n_levels
+    nblk = tile // block
+    assert nblk % 2 == 0
+    lane_i, lvl, q, f, bits, off = _lane_pattern(meta, block)
+    half = f & 1
+
+    def gather_level(buf, base, l):
+        for k in range(block):
+            buf[pl.ds(l * block + k, 1), :] = \
+                table_ref[pl.ds(rows_ref[l, base + k], 1), :]
+
+    def process(buf, base, next_base):
+        lane_blk = lane_ref[pl.ds(base, block), :]
+        frac_blk = frac_ref[pl.ds(base, block), :]
+        gup_blk = gup_ref[pl.ds(base, block), :]
+        lane_pad = jnp.pad(lane_blk,
+                           ((0, 0), (0, LANES - lane_blk.shape[1])))
+        frac_pad = jnp.pad(frac_blk,
+                           ((0, 0), (0, LANES - frac_blk.shape[1])))
+        gup_pad = jnp.pad(gup_blk, ((0, 0), (0, LANES - gup_blk.shape[1])))
+        gb = jnp.take_along_axis(gup_pad, lvl * 4 + (q & 3), axis=1)
+
+        lane0 = jnp.take_along_axis(lane_pad, lvl, axis=1)
+        wanted = lane0 + off
+        other = buf_b if buf is buf_a else buf_a
+        g = jnp.zeros((block, LANES), buf.dtype)
+        for l in range(L):
+            @pl.when(next_base < tile)
+            def _(l=l):
+                gather_level(other, next_base, l)
+
+            rows_l = buf[pl.ds(l * block, block), :]
+            g_l = jnp.take_along_axis(rows_l, wanted, axis=1)
+            g = jnp.where(lvl == l, g_l, g)
+        gval = _unpack_bits(g, half)
+
+        s = []
+        for a, bit in enumerate(bits):
+            f_a = jnp.take_along_axis(
+                frac_pad, jnp.minimum(3 * lvl + a, LANES - 1), axis=1)
+            s.append(jnp.where(bit > 0, f_a, 1.0 - f_a))
+        h = gb * gval
+        tx = h * s[1] * s[2]
+        ty = h * s[0] * s[2]
+        tz = h * s[0] * s[1]
+        dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32)
+        dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32)
+        dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32)
+        dx_ref[pl.ds(base, block), :] = jnp.concatenate(
+            [dx0, dx1, dx2], -1).astype(dx_ref.dtype)
+
+    for l in range(L):
+        gather_level(buf_a, 0, l)
+
+    def body(j, _):
+        b0 = 2 * j * block
+        process(buf_a, b0, b0 + block)
+        process(buf_b, b0 + block, b0 + 2 * block)
+        return 0
+
+    jax.lax.fori_loop(0, nblk // 2, body, 0)
+
+
+def _bwd24_kernel_v3(meta: BrickMeta, tile: int, block: int,
+                     rows_ref, lane_ref, frac_ref, table_ref, mred_ref,
+                     aux_ref, gup_ref, gg_ref,
+                     dgup_ref, dtab_ref, dx_ref, gbuf_a, gbuf_b,
+                     sbuf_a, sbuf_b):
+    """F=4 backward OF the nablas op: cotangents (d_gup [N,4L], d_x [N,3],
+    d_table half-planes [rows, 256]) given gg = cot(dL/dx). Same math as
+    the F=2 `_bwd2_kernel_v3` with the packed unpack and half-plane
+    scatter of `_bwd4_kernel_v3`."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dtab_ref[:, :] = jnp.zeros_like(dtab_ref)
+
+    L = meta.n_levels
+    nblk = tile // block
+    assert nblk % 2 == 0
+    lane_i, lvl, q, f, bits, off = _lane_pattern(meta, block)
+    half = f & 1
+    aux = aux_ref[:]                                          # [8,128]
+
+    def gather_level(buf, base, l):
+        for k in range(block):
+            buf[pl.ds(l * block + k, 1), :] = \
+                table_ref[pl.ds(rows_ref[l, base + k], 1), :]
+
+    def scatter_level(sbuf, base, l):
+        for k in range(block):
+            r = rows_ref[l, base + k]
+            dtab_ref[pl.ds(r, 1), 0:LANES] = \
+                dtab_ref[pl.ds(r, 1), 0:LANES] + \
+                sbuf[pl.ds(l * (2 * block) + k, 1), :]
+            dtab_ref[pl.ds(r, 1), LANES:2 * LANES] = \
+                dtab_ref[pl.ds(r, 1), LANES:2 * LANES] + \
+                sbuf[pl.ds(l * (2 * block) + block + k, 1), :]
+
+    def process(gbuf, sbuf, base, next_base, prev_base, prev_sbuf):
+        lane_blk = lane_ref[pl.ds(base, block), :]
+        frac_blk = frac_ref[pl.ds(base, block), :]
+        gup_blk = gup_ref[pl.ds(base, block), :]
+        gg_blk = gg_ref[pl.ds(base, block), :]
+        lane_pad = jnp.pad(lane_blk,
+                           ((0, 0), (0, LANES - lane_blk.shape[1])))
+        frac_pad = jnp.pad(frac_blk,
+                           ((0, 0), (0, LANES - frac_blk.shape[1])))
+        gup_pad = jnp.pad(gup_blk, ((0, 0), (0, LANES - gup_blk.shape[1])))
+        gb = jnp.take_along_axis(gup_pad, lvl * 4 + (q & 3), axis=1)
+
+        lane0 = jnp.take_along_axis(lane_pad, lvl, axis=1)
+        wanted = lane0 + off
+        other_gbuf = gbuf_b if gbuf is gbuf_a else gbuf_a
+        g = jnp.zeros((block, LANES), gbuf.dtype)
+        for l in range(L):
+            @pl.when(next_base < tile)
+            def _(l=l):
+                gather_level(other_gbuf, next_base, l)
+
+            @pl.when(prev_base >= 0)
+            def _(l=l):
+                scatter_level(prev_sbuf, prev_base, l)
+
+            rows_l = gbuf[pl.ds(l * block, block), :]
+            g_l = jnp.take_along_axis(rows_l, wanted, axis=1)
+            g = jnp.where(lvl == l, g_l, g)
+        gval = _unpack_bits(g, half)
+
+        s = []
+        for a, bit in enumerate(bits):
+            f_a = jnp.take_along_axis(
+                frac_pad, jnp.minimum(3 * lvl + a, LANES - 1), axis=1)
+            s.append(jnp.where(bit > 0, f_a, 1.0 - f_a))
+
+        sp0 = s[1] * s[2]
+        sp1 = s[0] * s[2]
+        sp2 = s[0] * s[1]
+        d0 = aux[0:1, :] * sp0
+        d1 = aux[1:2, :] * sp1
+        d2 = aux[2:3, :] * sp2
+        gg0 = gg_blk[:, 0:1]
+        gg1 = gg_blk[:, 1:2]
+        gg2 = gg_blk[:, 2:3]
+        f_lane = gg0 * d0 + gg1 * d1 + gg2 * d2
+
+        dgup_ref[pl.ds(base, block), :] = jnp.dot(
+            gval * f_lane, mred_ref[:], preferred_element_type=jnp.float32
+        ).astype(dgup_ref.dtype)
+
+        h2 = gb * gval
+        u0 = h2 * s[0]
+        u1 = h2 * s[1]
+        u2 = h2 * s[2]
+        ones_col = mred_ref[:, 0:1] * 0.0 + 1.0
+        z0 = gg1 * (u2 * aux[3:4, :]) + gg2 * (u1 * aux[4:5, :])
+        z1 = gg0 * (u2 * aux[3:4, :]) + gg2 * (u0 * aux[5:6, :])
+        z2 = gg0 * (u1 * aux[4:5, :]) + gg1 * (u0 * aux[5:6, :])
+        dxa = jnp.dot(z0, ones_col, preferred_element_type=jnp.float32)
+        dxb = jnp.dot(z1, ones_col, preferred_element_type=jnp.float32)
+        dxc = jnp.dot(z2, ones_col, preferred_element_type=jnp.float32)
+        dx_ref[pl.ds(base, block), :] = jnp.concatenate(
+            [dxa, dxb, dxc], -1).astype(dx_ref.dtype)
+
+        contrib = gb * f_lane
+        for l in range(L):
+            lane0_l = jnp.take_along_axis(
+                lane_pad, jnp.full((block, LANES), l, jnp.int32), axis=1)
+            d = lane_i - lane0_l
+            valid = (d >= 0) & (d <= 43) & ((d & 0b0010100) == 0)
+            dxb_ = (d >> 5) & 1
+            dyb_ = (d >> 3) & 1
+            dzb_ = (d >> 1) & 1
+            qinv = dxb_ * 4 + dyb_ * 2 + dzb_
+            base_src = jnp.clip(l * 32 + qinv * 4 + (d & 1) * 2, 0,
+                                LANES - 2)
+            for hp in range(2):
+                slab = jnp.where(
+                    valid,
+                    jnp.take_along_axis(contrib, base_src + hp, axis=1),
+                    0.0)
+                sbuf[pl.ds(l * (2 * block) + hp * block, block), :] = slab
+
+    for l in range(L):
+        gather_level(gbuf_a, 0, l)
+
+    def body(j, _):
+        b0 = 2 * j * block
+        process(gbuf_a, sbuf_a, b0, b0 + block, b0 - block, sbuf_b)
+        process(gbuf_b, sbuf_b, b0 + block, b0 + 2 * block, b0, sbuf_a)
+        return 0
+
+    jax.lax.fori_loop(0, nblk // 2, body, 0)
+    for l in range(L):
+        scatter_level(sbuf_b, tile - block, l)
+
+
+def _brick4_dydx_pallas(g_up: Array, x: Array, table_unpacked: Array,
+                        meta: BrickMeta, tile: int = 2048,
+                        interpret: bool = False) -> Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n0 = x.shape[0]
+    if n0 > _MAX_CHUNK:
+        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
+        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        return jnp.concatenate(
+            [_brick4_dydx_pallas(gp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
+                                 xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
+                                 table_unpacked, meta, tile, interpret)
+             for i in range(k)], axis=0)[:n0]
+    table = pack_table4(table_unpacked)
+    x, n = _pad_points(x, tile)
+    n_pad = x.shape[0]
+    if g_up.shape[0] != n_pad:
+        g_up = jnp.pad(g_up, ((0, n_pad - g_up.shape[0]), (0, 0)))
+    L = meta.n_levels
+    rows, lane_c, frac_c = _prologue(x, meta, jnp.float32, tile)
+    m_dx = jnp.asarray(_dx_matrix4(meta), jnp.float32)
+    block = _FWD_BLOCK if tile % (2 * _FWD_BLOCK) == 0 else tile // 2
+    kernel = functools.partial(_dydx4_kernel_v3, meta, tile, block)
+    dx = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((L, tile), lambda i: (0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, L), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4 * L), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, 3), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((L * block, LANES), jnp.float32)
+                        for _ in range(2)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(rows, lane_c, frac_c, table, m_dx, g_up)
+    return dx[:n]
+
+
+def _brick4_bwd2_pallas(g_up: Array, x: Array, table_unpacked: Array,
+                        gg: Array, meta: BrickMeta, tile: int = 2048,
+                        interpret: bool = False
+                        ) -> Tuple[Array, Array, Array]:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n0 = x.shape[0]
+    if n0 > _MAX_CHUNK:
+        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
+        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        ggp = jnp.pad(gg, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        dgups, dxs, dtab = [], [], jnp.zeros_like(table_unpacked)
+        for i in range(k):
+            sl = slice(i * _MAX_CHUNK, (i + 1) * _MAX_CHUNK)
+            a, b, c = _brick4_bwd2_pallas(gp[sl], xp[sl], table_unpacked,
+                                          ggp[sl], meta, tile, interpret)
+            dgups.append(a)
+            dxs.append(b)
+            dtab = dtab + c
+        return (jnp.concatenate(dgups)[:n0], jnp.concatenate(dxs)[:n0],
+                dtab)
+    table = pack_table4(table_unpacked)
+    x, n = _pad_points(x, tile)
+    n_pad = x.shape[0]
+    if g_up.shape[0] != n_pad:
+        g_up = jnp.pad(g_up, ((0, n_pad - g_up.shape[0]), (0, 0)))
+    if gg.shape[0] != n_pad:
+        gg = jnp.pad(gg, ((0, n_pad - gg.shape[0]), (0, 0)))
+    L = meta.n_levels
+    rows, lane_c, frac_c = _prologue(x, meta, jnp.float32, tile)
+    m_red = jnp.asarray(_reduce_matrix4(L), jnp.float32)
+    aux = jnp.asarray(_aux_patterns4(meta), jnp.float32)
+    block = _FWD_BLOCK if tile % (2 * _FWD_BLOCK) == 0 else tile // 2
+    kernel = functools.partial(_bwd24_kernel_v3, meta, tile, block)
+    dgup, dtab_hp, dx = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((L, tile), lambda i: (0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, L), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4 * L), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, 4 * L), lambda i: (i, 0)),
+            pl.BlockSpec((table.shape[0], 2 * LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 4 * L), jnp.float32),
+            jax.ShapeDtypeStruct((table.shape[0], 2 * LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((L * block, LANES), jnp.float32)
+                        for _ in range(2)] +
+                       [pltpu.VMEM((L * 2 * block, LANES), jnp.float32)
+                        for _ in range(2)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(rows, lane_c, frac_c, table, m_red, aux, g_up, gg)
+    return dgup[:n], dx[:n], _halfplane_to_natural(dtab_hp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def brick4_nablas(g_up: Array, x: Array, table: Array,
+                  meta: BrickMeta) -> Array:
+    """Differentiable F=4 nablas: dL/dx of the encode given upstream dL/dy
+    — forward runs the dedicated Pallas kernel on TPU, and ITS backward is
+    the 2nd-order kernel (`_bwd24_kernel_v3`), so eikonal training runs
+    the fast path end to end (mirrors lotd_brick.brick_nablas)."""
+    if jax.default_backend() == "tpu":
+        return _brick4_dydx_pallas(g_up, x, table, meta)
+    _, vjp_fn = jax.vjp(lambda xx: brick4_encode_xla(xx, table, meta), x)
+    return vjp_fn(g_up)[0]
+
+
+def _nablas4_fwd(g_up, x, table, meta):
+    return brick4_nablas(g_up, x, table, meta), (g_up, x, table)
+
+
+def _nablas4_bwd(meta, res, gg):
+    g_up, x, table = res
+    if jax.default_backend() == "tpu":
+        return _brick4_bwd2_pallas(g_up, x, table, gg, meta)
+
+    def nab_fn(gu, xx, tt):
+        _, vjp_fn = jax.vjp(
+            lambda x_: brick4_encode_xla(x_, tt, meta), xx)
+        return vjp_fn(gu)[0]
+
+    _, vjp2 = jax.vjp(nab_fn, g_up, x, table)
+    return vjp2(gg)
+
+
+brick4_nablas.defvjp(_nablas4_fwd, _nablas4_bwd)
 
 
 # ---------------------------------------------------------------- custom vjp

@@ -170,3 +170,68 @@ def test_encoding_module_f4(rng):
     for _ in range(150):
         state, ost, l = step(state, ost)
     assert float(l) < 0.5 * l0
+
+
+def test_second_order_interpret_parity(rng):
+    """F=4 nablas kernel + its 2nd-order backward vs the XLA nested-vjp
+    formulation, in interpreter mode."""
+    meta = B4.make_brick4_meta([16, 32, 64], ["Dense", "Dense", "Hash"],
+                               hashmap_rows=512)
+    table = jnp.asarray(rng.standard_normal((meta.total_rows, 256))
+                        .astype(np.float32))
+    n = 512
+    x = jnp.asarray(rng.uniform(0.0, 0.999, (n, 3)).astype(np.float32))
+    g_up = jnp.asarray(rng.standard_normal((n, 4 * meta.n_levels))
+                       .astype(np.float32))
+    gg = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+
+    # primal: nablas kernel vs XLA vjp
+    _, vjp_x = jax.vjp(lambda xx: B4.brick4_encode_xla(xx, table, meta), x)
+    nab_ref = vjp_x(g_up)[0]
+    nab_k = B4._brick4_dydx_pallas(g_up, x, table, meta, tile=512,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(nab_k), np.asarray(nab_ref),
+                               rtol=2e-4, atol=2e-3)
+
+    # backward: the three cotangents vs XLA double-vjp
+    def nab_fn(gu, xx, tt):
+        _, vjp_fn = jax.vjp(
+            lambda x_: B4.brick4_encode_xla(x_, tt, meta), xx)
+        return vjp_fn(gu)[0]
+
+    _, vjp2 = jax.vjp(nab_fn, g_up, x, table)
+    dgup_ref, dx_ref, dtab_ref = vjp2(gg)
+    dgup_k, dx_k, dtab_k = B4._brick4_bwd2_pallas(g_up, x, table, gg, meta,
+                                                  tile=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(dgup_k), np.asarray(dgup_ref),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_ref),
+                               rtol=2e-4, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(dtab_k), np.asarray(dtab_ref),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_nablas4_custom_vjp_cpu(rng):
+    """brick4_nablas on CPU: eikonal-style loss grads to (g_up, x, table)
+    equal plain nested autodiff through brick4_encode_xla."""
+    meta = B4.make_brick4_meta([16], ["Dense"])
+    table = jnp.asarray(rng.standard_normal((meta.total_rows, 256))
+                        .astype(np.float32))
+    x = jnp.asarray(rng.uniform(0.0, 0.999, (64, 3)).astype(np.float32))
+    g_up = jnp.asarray(rng.standard_normal((64, 4)).astype(np.float32))
+
+    def eik(gu, xx, tt):
+        nab = B4.brick4_nablas(gu, xx, tt, meta)
+        return jnp.mean((jnp.linalg.norm(nab, axis=-1) - 1.0) ** 2)
+
+    def eik_ref(gu, xx, tt):
+        _, vjp_fn = jax.vjp(
+            lambda x_: B4.brick4_encode_xla(x_, tt, meta), xx)
+        nab = vjp_fn(gu)[0]
+        return jnp.mean((jnp.linalg.norm(nab, axis=-1) - 1.0) ** 2)
+
+    g1 = jax.grad(eik, argnums=(0, 1, 2))(g_up, x, table)
+    g2 = jax.grad(eik_ref, argnums=(0, 1, 2))(g_up, x, table)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
