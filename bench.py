@@ -271,6 +271,13 @@ def main():
         print(f"# train_step_nerf_brick_krays = "
               f"{detail['train_step_nerf_brick_krays']}",
               file=sys.stderr, flush=True)
+        # flagship NeuS training (eikonal → 2nd-order kernels): F=2 brick
+        # vs the bf16-packed F=4 config at the same feature count
+        for kind, key_ in (("neus", "train_step_neus_brick_krays"),
+                           ("neus_w4", "train_step_neus_w4_krays")):
+            detail[key_] = round(
+                br.main_train(use_brick=True, kind=kind) / 1e3, 1)
+            print(f"# {key_} = {detail[key_]}", file=sys.stderr, flush=True)
     except Exception as e:  # never lose the headline line to a render issue
         print(f"# render bench skipped: {e}", file=sys.stderr, flush=True)
 

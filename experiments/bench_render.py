@@ -140,11 +140,19 @@ def main_train(use_brick: bool = False, kind: str = "nerf",
             neus_ray_query_coarse_multi_upsample)
         from nr3d_lib_tpu.models.model_base import LoTDNeuSModel
 
+        enc_cfg = {"lotd_cfg": {
+            "lod_res": [16, 32, 64, 128], "lod_n_feats": 2,
+            "lod_types": ["Dense", "Dense", "Hash", "Hash"],
+            "hashmap_size": 2 ** 16}}
+        if kind == "neus_w4":
+            # bf16-packed F=4: 2 levels carry the same 8 features
+            enc_cfg = {"lotd_cfg": {
+                "lod_res": [16, 64], "lod_n_feats": 4,
+                "lod_types": ["Dense", "Hash"], "hashmap_size": 2 ** 16}}
+        if use_brick or kind == "neus_w4":
+            enc_cfg["backend"] = "brick"
         model = LoTDNeuSModel(field_cfg={"surface_cfg": {
-            "encoding_cfg": {"lotd_cfg": {
-                "lod_res": [16, 32, 64, 128], "lod_n_feats": 2,
-                "lod_types": ["Dense", "Dense", "Hash", "Hash"],
-                "hashmap_size": 2 ** 16}},
+            "encoding_cfg": enc_cfg,
             "decoder_cfg": {"D": 1, "W": 64}},
             "radiance_cfg": {"D": 2, "W": 64}})
     model.populate()
