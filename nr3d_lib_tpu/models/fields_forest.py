@@ -38,7 +38,14 @@ Array = jax.Array
 
 class LoTDForestEncoding(nnx.Module):
     """Per-block LoTD params over one shared meta
-    (reference: lotd_forest.py:29-73 LoTDForestEncoding)."""
+    (reference: lotd_forest.py:29-73 LoTDForestEncoding).
+
+    backend='brick' switches to per-block BRICK tables
+    (`ops/lotd_brick.brick_encode_batched`): one row-gather per
+    (point, level) on the Pallas fast path regardless of block count —
+    the TPU equivalent of the reference's lotd_forest.h CUDA kernels.
+    Dense levels keep canonical per-block vertex grids (C0-tied within a
+    block, like LoTDBrickEncoding)."""
 
     def __init__(self, n_trees: int, *, lotd_cfg: Optional[dict] = None,
                  seed: int = 0, param_dtype=jnp.float32):
@@ -47,21 +54,80 @@ class LoTDForestEncoding(nnx.Module):
         cfg.setdefault("lod_n_feats", 2)
         cfg.setdefault("lod_types", ["Dense", "Dense", "Hash"])
         cfg.setdefault("hashmap_size", 2 ** 12)
-        self.meta = _lotd.generate_meta(
-            3, cfg["lod_res"], cfg["lod_n_feats"], cfg["lod_types"],
-            hashmap_size=cfg.get("hashmap_size"))
+        self.backend = cfg.pop("backend", "xla")
         self.n_trees = n_trees
-        self.out_features = self.meta.out_features
+        if self.backend == "brick":
+            from nr3d_lib_tpu.ops import lotd_brick as _B
+
+            assert cfg["lod_n_feats"] == 2
+            types = cfg["lod_types"]
+            if isinstance(types, str):
+                types = [types] * len(cfg["lod_res"])
+            self.meta_brick = _B.make_forest_meta(_B.make_brick_meta(
+                cfg["lod_res"], types,
+                hashmap_rows=max(1, int(cfg["hashmap_size"]) // 64)))
+            self.out_features = self.meta_brick.out_features
+            sizes = []
+            for lv in self.meta_brick.levels:
+                sizes.append(int(np.prod(lv.res)) * 2 if lv.kind == "dense"
+                             else lv.n_rows * 128)
+            offs = [0]
+            for sz in sizes:
+                offs.append(offs[-1] + sz)
+            self._param_offsets = tuple(offs)
+            n_params = int(offs[-1])
+        else:
+            self.meta = _lotd.generate_meta(
+                3, cfg["lod_res"], cfg["lod_n_feats"], cfg["lod_types"],
+                hashmap_size=cfg.get("hashmap_size"))
+            self.out_features = self.meta.out_features
+            n_params = self.meta.n_params
         self.flattened_params = nnx.Param(
             jax.random.uniform(jax.random.key(seed),
-                               (n_trees, self.meta.n_params), param_dtype,
+                               (n_trees, n_params), param_dtype,
                                -1e-4, 1e-4))
+
+    def _build_tables(self) -> Array:
+        """[n_trees·total_rows, 128] brick tables (differentiable)."""
+        from nr3d_lib_tpu.ops import lotd_brick as _B
+
+        o = self._param_offsets
+
+        def one(p):
+            rows = []
+            for i, lv in enumerate(self.meta_brick.levels):
+                pi = p[o[i]:o[i + 1]]
+                if lv.kind == "dense":
+                    rows.append(_B.materialize_dense_brick_table(pi, lv))
+                else:
+                    rows.append(pi.reshape(lv.n_rows, 128))
+            return jnp.concatenate(rows, axis=0)
+
+        tabs = jax.vmap(one)(self.flattened_params[...])
+        return tabs.reshape(-1, 128)
 
     def __call__(self, x_local: Array, bidx: Array) -> Array:
         """x_local in [-1,1] per block; bidx < 0 → zero features."""
+        if self.backend == "brick":
+            from nr3d_lib_tpu.ops import lotd_brick as _B
+
+            y = _B.brick_encode_batched(x_local * 0.5 + 0.5,
+                                        self._build_tables(),
+                                        self.meta_brick, bidx)
+            return jnp.where(bidx[..., None] >= 0, y, 0.0)
         return _lotd.lotd_encode(x_local * 0.5 + 0.5,
                                  self.flattened_params[...], self.meta,
                                  bidx=bidx)
+
+    def nablas_path(self, x_local: Array, g_up: Array, bidx: Array) -> Array:
+        """J_encᵀ·g_up (brick backend): Pallas nablas kernel whose backward
+        is the 2nd-order pair; the 0.5 folds the [-1,1]→[0,1] rescale."""
+        from nr3d_lib_tpu.ops import lotd_brick as _B
+
+        g_up = jnp.where(bidx[..., None] >= 0, g_up, 0.0)
+        return 0.5 * _B.brick_nablas_batched(g_up, x_local * 0.5 + 0.5,
+                                             self._build_tables(),
+                                             self.meta_brick, bidx)
 
     def state_dict(self):
         return {"flattened_params": self.flattened_params[...]}
@@ -99,6 +165,25 @@ class LoTDForestSDF(nnx.Module):
         return {"sdf": out[..., 0], "h": out[..., 1:]}
 
     def forward_sdf_nablas(self, x_world: Array) -> Dict[str, Array]:
+        if self.encoding.backend == "brick":
+            # split: decoder term by plain (2nd-order-safe) vjp, encoding
+            # term via the per-block nablas kernel with its 2nd-order
+            # Pallas backward (cf. fields/sdf.py _forward_sdf_nablas_brick)
+            bidx = self.space.block_of_points(x_world)
+            x_local = self.space.normalize_coords(x_world, bidx)
+            h_enc = self.encoding(x_local, bidx)
+
+            def dec(xx, hh):
+                out = self.decoder(jnp.concatenate([xx, hh], -1))
+                return out[..., 0], out[..., 1:]
+
+            (sdf, h), dec_vjp = jax.vjp(dec, x_local, h_enc)
+            gx, gh = dec_vjp((jnp.ones_like(sdf), jnp.zeros_like(h)))
+            nab_local = gx + self.encoding.nablas_path(x_local, gh, bidx)
+            # d x_local / d x_world = 2 / block_size
+            nablas = nab_local * (2.0 / self.space.block_size)
+            return {"sdf": sdf, "h": h, "nablas": nablas}
+
         def f(xx):
             out = self._sdf_h(xx)
             return out[..., 0], out[..., 1:]

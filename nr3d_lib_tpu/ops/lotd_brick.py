@@ -65,6 +65,10 @@ class BrickLevel:
 @dataclass(frozen=True)
 class BrickMeta:
     levels: Tuple[BrickLevel, ...]
+    # False disables the one-hot MXU gather (`_mxu_levels`): required when
+    # rows carry per-block offsets (forest/batched encode) — the static
+    # level spans no longer hold
+    mxu: bool = True
 
     @cached_property
     def total_rows(self) -> int:
@@ -358,7 +362,7 @@ def _mxu_levels(meta: BrickMeta):
     ~k_pad/1024 VPU cyc/pt, so the row cap keeps it below the scalar time
     it saves. Exact for dense AND hash levels (a one-hot matmul is just a
     gather)."""
-    if not _MXU_DENSE:
+    if not _MXU_DENSE or not meta.mxu:
         return ()
     return tuple(l for l, lev in enumerate(meta.levels)
                  if lev.n_rows <= _MXU_MAX_ROWS
@@ -1101,6 +1105,17 @@ _FWD_BLOCK = 1024     # points per pipeline stage in the v3 kernel
                       # 23.5; smaller blocks pipeline worse)
 
 
+def _offset_rows(rows: Array, bidx, meta: BrickMeta, n_pad: int) -> Array:
+    """Per-block row offsets for the forest/batched encode: block b's table
+    occupies rows [b·total_rows, (b+1)·total_rows). bidx < 0 clamps to
+    block 0 (callers mask those points' features/grads to zero)."""
+    if bidx is None:
+        return rows
+    b = jnp.maximum(bidx, 0).astype(jnp.int32)
+    b = jnp.pad(b, (0, n_pad - b.shape[0]))
+    return rows + b[None, :] * meta.total_rows
+
+
 def _pad_points(x: Array, tile: int) -> Tuple[Array, int]:
     n = x.shape[0]
     n_pad = ((n + tile - 1) // tile) * tile
@@ -1111,21 +1126,26 @@ def _pad_points(x: Array, tile: int) -> Tuple[Array, int]:
 
 def _brick_encode_pallas(x: Array, table: Array, meta: BrickMeta,
                          tile: int = 2048, interpret: bool = False,
-                         coherent: bool = False) -> Array:
+                         coherent: bool = False, bidx=None) -> Array:
     n = x.shape[0]
     if n > _MAX_CHUNK:
         k = (n + _MAX_CHUNK - 1) // _MAX_CHUNK
         xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n), (0, 0)))
+        bp = None if bidx is None else jnp.pad(bidx,
+                                               (0, k * _MAX_CHUNK - n))
         outs = [_brick_encode_pallas_impl(
             xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK], table, meta, tile,
-            interpret, coherent) for i in range(k)]
+            interpret, coherent,
+            None if bp is None else bp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK])
+            for i in range(k)]
         return jnp.concatenate(outs, axis=0)[:n]
-    return _brick_encode_pallas_impl(x, table, meta, tile, interpret, coherent)
+    return _brick_encode_pallas_impl(x, table, meta, tile, interpret,
+                                     coherent, bidx)
 
 
 def _brick_encode_pallas_impl(x: Array, table: Array, meta: BrickMeta,
                               tile: int = 2048, interpret: bool = False,
-                              coherent: bool = False) -> Array:
+                              coherent: bool = False, bidx=None) -> Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1133,6 +1153,7 @@ def _brick_encode_pallas_impl(x: Array, table: Array, meta: BrickMeta,
     n_pad = x.shape[0]
     L = meta.n_levels
     rows, lane_c, frac_c = _prologue(x, meta, table.dtype, tile)
+    rows = _offset_rows(rows, bidx, meta, n_pad)
     m_red = jnp.asarray(_reduce_matrix(L), table.dtype)
 
     block = _FWD_BLOCK
@@ -1184,32 +1205,36 @@ def _brick_encode_pallas_impl(x: Array, table: Array, meta: BrickMeta,
 
 def _brick_bwd_pallas(x: Array, table: Array, g_up: Array, meta: BrickMeta,
                       tile: int = 2048, interpret: bool = False,
-                      coherent: bool = False, need_dx: bool = True
-                      ) -> Tuple[Array, Array]:
+                      coherent: bool = False, need_dx: bool = True,
+                      bidx=None) -> Tuple[Array, Array]:
     """Pallas backward: (dL/dx [N,3], dL/dtable [rows,128])."""
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
         k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
         xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)))
         gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        bp = None if bidx is None else jnp.pad(bidx,
+                                               (0, k * _MAX_CHUNK - n0))
         dxs, dtab = [], jnp.zeros_like(table)
         for i in range(k):
+            sl = slice(i * _MAX_CHUNK, (i + 1) * _MAX_CHUNK)
             dx_i, dt_i = _brick_bwd_pallas_impl(
-                xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK], table,
-                gp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK], meta, tile,
-                interpret, coherent, need_dx)
+                xp[sl], table, gp[sl], meta, tile,
+                interpret, coherent, need_dx,
+                None if bp is None else bp[sl])
             dxs.append(dx_i)
             dtab = dtab + dt_i
         return jnp.concatenate(dxs, axis=0)[:n0], dtab
     return _brick_bwd_pallas_impl(x, table, g_up, meta, tile, interpret,
-                                  coherent, need_dx)
+                                  coherent, need_dx, bidx)
 
 
 def _brick_bwd_pallas_impl(x: Array, table: Array, g_up: Array,
                            meta: BrickMeta, tile: int = 2048,
                            interpret: bool = False,
                            coherent: bool = False,
-                           need_dx: bool = True) -> Tuple[Array, Array]:
+                           need_dx: bool = True, bidx=None
+                           ) -> Tuple[Array, Array]:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1219,6 +1244,7 @@ def _brick_bwd_pallas_impl(x: Array, table: Array, g_up: Array,
         g_up = jnp.pad(g_up, ((0, n_pad - g_up.shape[0]), (0, 0)))
     L = meta.n_levels
     rows, lane_c, frac_c = _prologue(x, meta, table.dtype, tile)
+    rows = _offset_rows(rows, bidx, meta, n_pad)
     m_dx = jnp.asarray(_dx_matrix(meta), table.dtype)
 
     block = _FWD_BLOCK
@@ -1350,7 +1376,8 @@ brick_encode_frozen_x.defvjp(_fwd_frozen, _bwd_frozen)
 
 
 def _brick_dydx_pallas(g_up: Array, x: Array, table: Array, meta: BrickMeta,
-                       tile: int = 2048, interpret: bool = False) -> Array:
+                       tile: int = 2048, interpret: bool = False,
+                       bidx=None) -> Array:
     """dL/dx only (no dtable scatter) via the dedicated Pallas kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1360,10 +1387,14 @@ def _brick_dydx_pallas(g_up: Array, x: Array, table: Array, meta: BrickMeta,
         k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
         xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)))
         gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        bp = None if bidx is None else jnp.pad(bidx,
+                                               (0, k * _MAX_CHUNK - n0))
         return jnp.concatenate(
             [_brick_dydx_pallas(gp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
                                 xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
-                                table, meta, tile, interpret)
+                                table, meta, tile, interpret,
+                                None if bp is None else
+                                bp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK])
              for i in range(k)], axis=0)[:n0]
     x, n = _pad_points(x, tile)
     n_pad = x.shape[0]
@@ -1371,6 +1402,7 @@ def _brick_dydx_pallas(g_up: Array, x: Array, table: Array, meta: BrickMeta,
         g_up = jnp.pad(g_up, ((0, n_pad - g_up.shape[0]), (0, 0)))
     L = meta.n_levels
     rows, lane_c, frac_c = _prologue(x, meta, table.dtype, tile)
+    rows = _offset_rows(rows, bidx, meta, n_pad)
     m_dx = jnp.asarray(_dx_matrix(meta), table.dtype)
     block = _FWD_BLOCK
     if _FWD_VERSION == 3 and tile % (2 * block) == 0:
@@ -1423,7 +1455,7 @@ def _brick_dydx_pallas(g_up: Array, x: Array, table: Array, meta: BrickMeta,
 
 def _brick_bwd2_pallas(g_up: Array, x: Array, table: Array, gg: Array,
                        meta: BrickMeta, tile: int = 2048,
-                       interpret: bool = False
+                       interpret: bool = False, bidx=None
                        ) -> Tuple[Array, Array, Array]:
     """2nd-order backward: cotangents (d_gup [N,2L], d_x [N,3],
     d_table [rows,128]) of the nablas op given gg = cot(dL/dx)."""
@@ -1436,11 +1468,14 @@ def _brick_bwd2_pallas(g_up: Array, x: Array, table: Array, gg: Array,
         xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)))
         gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
         ggp = jnp.pad(gg, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        bp = None if bidx is None else jnp.pad(bidx,
+                                               (0, k * _MAX_CHUNK - n0))
         dgups, dxs, dtab = [], [], jnp.zeros_like(table)
         for i in range(k):
             sl = slice(i * _MAX_CHUNK, (i + 1) * _MAX_CHUNK)
             a, b, c = _brick_bwd2_pallas(gp[sl], xp[sl], table, ggp[sl],
-                                         meta, tile, interpret)
+                                         meta, tile, interpret,
+                                         None if bp is None else bp[sl])
             dgups.append(a)
             dxs.append(b)
             dtab = dtab + c
@@ -1454,6 +1489,7 @@ def _brick_bwd2_pallas(g_up: Array, x: Array, table: Array, gg: Array,
         gg = jnp.pad(gg, ((0, n_pad - gg.shape[0]), (0, 0)))
     L = meta.n_levels
     rows, lane_c, frac_c = _prologue(x, meta, table.dtype, tile)
+    rows = _offset_rows(rows, bidx, meta, n_pad)
     m_red = jnp.asarray(_reduce_matrix(L), table.dtype)
     aux = jnp.asarray(_aux_patterns(meta), table.dtype)
     block = _FWD_BLOCK
@@ -1581,3 +1617,114 @@ def brick_bwd_dydx(g_up: Array, x: Array, table: Array,
         return dx
     _, vjp_fn = jax.vjp(lambda xx: brick_encode_xla(xx, table, meta), x)
     return vjp_fn(g_up)[0]
+
+
+# ----------------------------------------------------------- forest/batched
+def make_forest_meta(meta: BrickMeta) -> BrickMeta:
+    """Meta for per-block tables: same levels, MXU gather disabled (rows
+    carry per-block offsets, so the static level spans don't hold)."""
+    import dataclasses
+
+    return dataclasses.replace(meta, mxu=False)
+
+
+def brick_encode_xla_batched(x: Array, table: Array, meta: BrickMeta,
+                             bidx: Array) -> Array:
+    """XLA reference for the per-block encode: table [B·total_rows, 128],
+    block b owns rows [b·total_rows, (b+1)·total_rows). bidx < 0 clamps to
+    block 0 — callers mask those points."""
+    b = jnp.maximum(bidx, 0).astype(jnp.int32)
+    outs = []
+    for level in meta.levels:
+        row, lane0, frac = _level_rows_and_lanes(x, level)
+        row = row + b * meta.total_rows
+        rows = jnp.take(table, row, axis=0, mode="clip")
+        lanes = lane0[:, None] + jnp.asarray(_CORNER_OFF)[None, :]
+        f0 = jnp.take_along_axis(rows, lanes, axis=1)
+        f1 = jnp.take_along_axis(rows, lanes + 1, axis=1)
+        w = _corner_weights(frac).astype(rows.dtype)
+        outs.append(jnp.sum(w * f0, -1))
+        outs.append(jnp.sum(w * f1, -1))
+    return jnp.stack(outs, axis=-1)
+
+
+# per-block tables must be VMEM-resident for the kernels (the full table is
+# an input AND the backward's accumulator output)
+_FOREST_VMEM_ROWS = 48 * 1024
+
+
+def _forest_use_kernel(table: Array) -> bool:
+    return (jax.default_backend() == "tpu"
+            and table.shape[0] <= _FOREST_VMEM_ROWS)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def brick_encode_batched(x: Array, table: Array, meta: BrickMeta,
+                         bidx: Array) -> Array:
+    """Per-block brick encode (forest / batched-categorical scenes): ONE
+    row-gather per (point, level) regardless of block count — the same
+    kernels as `brick_encode`, rows offset by bidx·total_rows in the
+    prologue (reference capability: csrc/lotd/lotd_forest.h +
+    lotd_batched; this is the TPU fast path for both). Falls back to the
+    XLA formulation off-TPU or when the forest table exceeds the VMEM
+    budget. meta should come from `make_forest_meta`."""
+    if _forest_use_kernel(table):
+        return _brick_encode_pallas(x, table, meta, bidx=bidx)
+    return brick_encode_xla_batched(x, table, meta, bidx)
+
+
+def _fwd_batched(x, table, meta, bidx):
+    return brick_encode_batched(x, table, meta, bidx), (x, table, bidx)
+
+
+def _bwd_batched(meta, res, g):
+    x, table, bidx = res
+    zero_b = np.zeros(bidx.shape, jax.dtypes.float0)
+    if _forest_use_kernel(table):
+        dx, dtab = _brick_bwd_pallas(x, table, g, meta, bidx=bidx)
+        return dx, dtab, zero_b
+    _, vjp_fn = jax.vjp(
+        lambda xx, tt: brick_encode_xla_batched(xx, tt, meta, bidx),
+        x, table)
+    dx, dtab = vjp_fn(g)
+    return dx, dtab, zero_b
+
+
+brick_encode_batched.defvjp(_fwd_batched, _bwd_batched)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def brick_nablas_batched(g_up: Array, x: Array, table: Array,
+                         meta: BrickMeta, bidx: Array) -> Array:
+    """Per-block nablas with the 2nd-order Pallas backward (eikonal
+    training on forest scenes runs the fast path end to end)."""
+    if _forest_use_kernel(table):
+        return _brick_dydx_pallas(g_up, x, table, meta, bidx=bidx)
+    _, vjp_fn = jax.vjp(
+        lambda xx: brick_encode_xla_batched(xx, table, meta, bidx), x)
+    return vjp_fn(g_up)[0]
+
+
+def _nab_b_fwd(g_up, x, table, meta, bidx):
+    return brick_nablas_batched(g_up, x, table, meta, bidx), \
+        (g_up, x, table, bidx)
+
+
+def _nab_b_bwd(meta, res, gg):
+    g_up, x, table, bidx = res
+    zero_b = np.zeros(bidx.shape, jax.dtypes.float0)
+    if _forest_use_kernel(table):
+        dgup, dx, dtab = _brick_bwd2_pallas(g_up, x, table, gg, meta,
+                                            bidx=bidx)
+        return dgup, dx, dtab, zero_b
+
+    def nab_fn(gu, xx, tt):
+        _, vjp_fn = jax.vjp(
+            lambda x_: brick_encode_xla_batched(x_, tt, meta, bidx), xx)
+        return vjp_fn(gu)[0]
+
+    _, vjp2 = jax.vjp(nab_fn, g_up, x, table)
+    return vjp2(gg) + (zero_b,)
+
+
+brick_nablas_batched.defvjp(_nab_b_fwd, _nab_b_bwd)
