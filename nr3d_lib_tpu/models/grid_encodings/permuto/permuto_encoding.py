@@ -39,14 +39,17 @@ class PermutoParams(nnx.Module):
                  auto_dense: bool = True,
                  param_init_std: float = 1e-4, seed: int = 0):
         self.backend = backend
+        self.n_feats = n_feats
         if backend == "cell":
-            assert n_feats == 2, "cell backend packs 2 feats/vertex"
+            assert n_feats in (2, 4), "cell backend packs 2 or 4 feats"
             # auto_dense: coarse levels get collision-free box indexing and
-            # only as many rows as they have reachable cells (VMEM saver)
+            # only as many rows as they have reachable cells (VMEM saver).
+            # n_feats=4 selects the bf16-packed variant (permuto_cell4.py):
+            # same rows, double features per gather — halve the levels.
             self.meta = _pcell.make_permuto_cell_meta(
                 n_dims, res_list, hashmap_rows=hashmap_rows,
                 auto_dense=auto_dense)
-            shape = (self.meta.total_rows, _pcell.LANES)
+            shape = (self.meta.total_rows, _pcell.LANES * (n_feats // 2))
         else:
             self.meta = _permuto.make_permuto_meta(
                 n_dims, res_list, n_feats, log2_hashmap_size)
@@ -55,6 +58,8 @@ class PermutoParams(nnx.Module):
             jax.random.uniform(jax.random.key(seed), shape, jnp.float32,
                                -param_init_std, param_init_std))
         self.out_features = self.meta.out_features
+        if backend == "cell" and n_feats == 4:
+            self.out_features = 4 * self.meta.n_levels
 
     def encode(self, inp: Array, frozen_x: bool = False, ho: bool = False,
                **kw) -> Array:
@@ -64,7 +69,16 @@ class PermutoParams(nnx.Module):
         p = self.flattened_params[...]
         batch = inp.shape[:-1]
         flat = inp.reshape(-1, inp.shape[-1])
-        if self.backend == "cell":
+        if self.backend == "cell" and getattr(self, "n_feats", 2) == 4:
+            from nr3d_lib_tpu.ops import permuto_cell4 as _pc4
+
+            if ho:
+                y = _pc4.permuto_cell4_encode_xla(flat, p, self.meta)
+            else:
+                fn = (_pc4.permuto_cell4_encode_frozen_x if frozen_x
+                      else _pc4.permuto_cell4_encode)
+                y = fn(flat, p, self.meta)
+        elif self.backend == "cell":
             if ho:
                 y = _pcell.permuto_cell_encode_xla(flat, p, self.meta)
             else:
