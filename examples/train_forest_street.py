@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--march", choices=("fixed", "segments"),
                     default="segments")
+    ap.add_argument("--brick", action="store_true",
+                    help="per-block brick tables (the TPU fast path: one "
+                         "gather per point-level; ops/lotd_brick.py "
+                         "brick_encode_batched)")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +55,8 @@ def main():
                    "block_size": 1.0},
         field_cfg={"surface_cfg": {
             "lotd_cfg": {"lod_res": [8, 16, 32], "lod_n_feats": 2,
-                         "lod_types": ["Dense", "Dense", "Dense"]},
+                         "lod_types": ["Dense", "Dense", "Dense"],
+                         **({"backend": "brick"} if args.brick else {})},
             "decoder_cfg": {"D": 1, "W": 64}},
             "radiance_cfg": {"D": 1, "W": 64}},
         n_march_steps=128, march_mode=args.march,
