@@ -242,6 +242,42 @@ def main():
     except Exception as e:
         print(f"# permuto bench skipped: {e}", file=sys.stderr, flush=True)
 
+    # bf16-packed F=4 cells: 4 levels carry the same 16 features
+    try:
+        from nr3d_lib_tpu.ops import permuto_cell4 as PC4
+
+        pmeta4 = PC4.make_permuto_cell4_meta(
+            3, [16.0 * 2 ** (1.0 * i) for i in range(4)],
+            hashmap_rows=4096)
+        ptab4 = jax.random.normal(jax.random.key(8),
+                                  (pmeta4.total_rows, 256),
+                                  jnp.float32) * 1e-2
+
+        def p4chain(n):
+            def chained(c, x0, tt):
+                def body(i, carry):
+                    cc, acc = carry
+                    s = jnp.sum(PC4.permuto_cell4_encode(
+                        x0 * (1.0 + cc * 1e-30), tt, pmeta4
+                    ).astype(jnp.float32))
+                    return s * 1e-30, acc + s
+
+                return jax.lax.fori_loop(0, n, body, (c, 0.0))[1]
+
+            return jax.jit(chained)
+
+        lo, hi = p4chain(1), p4chain(8)
+        float(lo(0.0, x_rand, ptab4))
+        float(hi(0.0, x_rand, ptab4))
+        t_lo = min(_timed(lo, x_rand, ptab4) for _ in range(2))
+        t_hi = min(_timed(hi, x_rand, ptab4) for _ in range(2))
+        detail["permuto_cell4_fwd_gs"] = round(
+            n_pts / ((t_hi - t_lo) / 7) / 1e9, 4)
+        print(f"# permuto_cell4_fwd_gs = {detail['permuto_cell4_fwd_gs']}",
+              file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"# permuto4 bench skipped: {e}", file=sys.stderr, flush=True)
+
     # end-to-end renderer throughput (the metric the renderer design
     # optimizes — occupancy compression cuts the NUMBER of gathers; see
     # docs/DESIGN.md §3 consequences). Round-1 march_occ+XLA: 50.4 Krays/s.
