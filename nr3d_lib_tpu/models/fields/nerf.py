@@ -120,7 +120,7 @@ class PermutoNeRF(nnx.Module):
         dec_cfg = dict(density_decoder_cfg or {})
         dec_cfg.setdefault("D", 1)
         dec_cfg.setdefault("W", 64)
-        self.decoder = MLP(self.meta.out_features, 1 + n_geo_feat,
+        self.decoder = MLP(self.bank.out_features, 1 + n_geo_feat,
                            **dec_cfg, seed=seed + 1)
         self.radiance = RadianceNet(n_extra_feat=n_geo_feat,
                                     **(radiance_cfg or {}), seed=seed + 2)

@@ -129,7 +129,7 @@ class PermutoSDF(nnx.Module):
         dec_cfg = dict(decoder_cfg or {})
         dec_cfg.setdefault("D", 1)
         dec_cfg.setdefault("W", 64)
-        self.decoder = MLP(self.meta.out_features + 3, 1 + n_geo_feat,
+        self.decoder = MLP(self.bank.out_features + 3, 1 + n_geo_feat,
                            **dec_cfg, seed=seed + 1)
         self.n_geo_feat = n_geo_feat
         self.radius_init = float(radius_init)

@@ -63,7 +63,7 @@ class GenerativePermutoConcatSDF(nnx.Module):
         dec = dict(decoder_cfg or {})
         dec.setdefault("D", 1)
         dec.setdefault("W", 64)
-        self.decoder = MLP(self.meta.out_features + 3, 1 + n_geo_feat,
+        self.decoder = MLP(self.bank.out_features + 3, 1 + n_geo_feat,
                            **dec, seed=seed + 1)
         self.n_geo_feat = n_geo_feat
 

@@ -49,7 +49,7 @@ class DynamicPermutoConcatSDF(nnx.Module):
         dec = dict(decoder_cfg or {})
         dec.setdefault("D", 1)
         dec.setdefault("W", 64)
-        self.decoder = MLP(self.meta.out_features + 3, 1 + n_geo_feat, **dec,
+        self.decoder = MLP(self.bank.out_features + 3, 1 + n_geo_feat, **dec,
                            seed=seed + 1)
         self.n_geo_feat = n_geo_feat
 
@@ -148,7 +148,7 @@ class EmerNeRF(nnx.Module):
             backend=dcfg.get("backend", "xla"),
             hashmap_rows=dcfg.get("hashmap_rows", 4096), seed=seed + 2)
         self.dyn_meta = self.dyn_bank.meta
-        self.dyn_decoder = MLP(self.dyn_meta.out_features, 1 + n_geo_feat,
+        self.dyn_decoder = MLP(self.dyn_bank.out_features, 1 + n_geo_feat,
                                D=1, W=64, seed=seed + 3)
 
         self.static_radiance = RadianceNet(n_extra_feat=n_geo_feat,
@@ -161,7 +161,7 @@ class EmerNeRF(nnx.Module):
         self.agg_weights = tuple(float(w) for w in agg_weights)
         if use_flow:
             # (x, t) → forward+backward scene flow (emernerf.py flow field)
-            self.flow_mlp = MLP(self.dyn_meta.out_features, 6, D=2, W=64,
+            self.flow_mlp = MLP(self.dyn_bank.out_features, 6, D=2, W=64,
                                 seed=seed + 6)
         if use_shadow:
             self.shadow_mlp = MLP(n_geo_feat, 1, D=1, W=32,
@@ -265,7 +265,7 @@ class EmerNeRFOnlyDynamic(nnx.Module):
             backend=dcfg.get("backend", "xla"),
             hashmap_rows=dcfg.get("hashmap_rows", 4096), seed=seed + 2)
         self.dyn_meta = self.dyn_bank.meta
-        self.dyn_decoder = MLP(self.dyn_meta.out_features, 1 + n_geo_feat,
+        self.dyn_decoder = MLP(self.dyn_bank.out_features, 1 + n_geo_feat,
                                D=1, W=64, seed=seed + 3)
         self.dyn_radiance = RadianceNet(n_extra_feat=n_geo_feat, seed=seed + 5)
         self.use_flow = use_flow
@@ -274,7 +274,7 @@ class EmerNeRFOnlyDynamic(nnx.Module):
         self.dt = float(dt)
         self.agg_weights = tuple(float(w) for w in agg_weights)
         if use_flow:
-            self.flow_mlp = MLP(self.dyn_meta.out_features, 6, D=2, W=64,
+            self.flow_mlp = MLP(self.dyn_bank.out_features, 6, D=2, W=64,
                                 seed=seed + 6)
 
     _dyn_feats = EmerNeRF._dyn_feats
