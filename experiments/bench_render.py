@@ -225,7 +225,11 @@ if __name__ == "__main__":
     if "--compressed" in sys.argv:
         mode = "march_occ_compressed"
     if "--train" in sys.argv:
-        kind = "neus" if "--neus" in sys.argv else "nerf"
+        kind = "nerf"
+        if "--neus_w4" in sys.argv:
+            kind = "neus_w4"
+        elif "--neus" in sys.argv:
+            kind = "neus"
         main_train(use_brick="--brick" in sys.argv, kind=kind)
     else:
         main(use_brick="--brick" in sys.argv, mode=mode,
