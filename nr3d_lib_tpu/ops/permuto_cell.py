@@ -328,9 +328,56 @@ def _fwd_kernel(meta: PermutoCellMeta, lc: int, tile: int,
                             ).astype(out_ref.dtype)
 
 
+def _mxu_spans(group) -> tuple:
+    """Static (li, start, k_pad) for group levels fetched by a one-hot MXU
+    matmul instead of scalar gathers (small tables — same trick and row cap
+    as lotd_brick `_mxu_levels`; spans are relative to the group's rebased
+    table slice). Exact for hashed AND dense-box levels."""
+    if not _MXU_DENSE:
+        return ()
+    base = group[0].row_offset
+    g_rows = sum(l.n_rows for l in group)
+    out = []
+    for li, lev in enumerate(group):
+        if lev.n_rows <= _MXU_MAX_ROWS:
+            k_pad = -(-lev.n_rows // LANES) * LANES
+            start = min(lev.row_offset - base, g_rows - k_pad)
+            if start >= 0:
+                out.append((li, int(start), int(k_pad)))
+    return tuple(out)
+
+
+def _mxu_rows_pc(table_ref, rowsv_ref, base_pt, block, li, start, k_pad):
+    """rows for an MXU level: onehot(row_id − start) @ table_slab."""
+    from jax.experimental import pallas as pl
+
+    rid = rowsv_ref[pl.ds(base_pt, block), li:li + 1] - start
+    iota = jax.lax.broadcasted_iota(jnp.int32, (block, k_pad), 1)
+    onehot = (iota == rid).astype(table_ref.dtype)
+    tab = table_ref[pl.ds(start, k_pad), :]
+    return jnp.dot(onehot, tab, preferred_element_type=jnp.float32
+                   ).astype(table_ref.dtype)
+
+
+def _mxu_scatter_pc(dtab_ref, sbuf, rowsh_ref, base_pt, block, li, start,
+                    k_pad, slab_row0):
+    """onehotᵀ @ slab accumulate for an MXU level (exact segment-sum)."""
+    from jax.experimental import pallas as pl
+
+    rid = rowsh_ref[li:li + 1, pl.ds(base_pt, block)] - start  # [1,block]
+    iota0 = jax.lax.broadcasted_iota(jnp.int32, (k_pad, block), 0)
+    onehot_t = (iota0 == rid).astype(dtab_ref.dtype)
+    slab = sbuf[pl.ds(slab_row0, block), :]
+    dtab_ref[pl.ds(start, k_pad), :] = (
+        dtab_ref[pl.ds(start, k_pad), :]
+        + jnp.dot(onehot_t, slab, preferred_element_type=jnp.float32
+                  ).astype(dtab_ref.dtype))
+
+
 def _fwd_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
-                   rows_ref, lane_ref, bary_ref, table_ref, m_ref,
-                   out_ref, buf_a, buf_b):
+                   spans: tuple,
+                   rows_ref, lane_ref, bary_ref, rowsv_ref, table_ref,
+                   m_ref, out_ref, buf_a, buf_b):
     """Software-pipelined forward (same scheme as lotd_brick
     `_fwd_kernel_v3`, which measured 15.0 vs 23.5 cyc/pt): block j+1's
     scalar row gathers interleave with block j's VPU extraction, A/B
@@ -349,7 +396,11 @@ def _fwd_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
     f = q & 1
     sel = jnp.minimum(lvl * vp + k, LANES - 1)
 
+    mxu = {li: (start, k_pad) for li, start, k_pad in spans}
+
     def gather_level(buf, base, l):
+        if l in mxu:
+            return
         for kk in range(block):
             buf[pl.ds(l * block + kk, 1), :] = \
                 table_ref[pl.ds(rows_ref[l, base + kk], 1), :]
@@ -370,7 +421,11 @@ def _fwd_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
             def _(l=l):
                 gather_level(other, next_base, l)
 
-            rows_l = buf[pl.ds(l * block, block), :]
+            if l in mxu:
+                rows_l = _mxu_rows_pc(table_ref, rowsv_ref, base, block,
+                                      l, *mxu[l])
+            else:
+                rows_l = buf[pl.ds(l * block, block), :]
             g_l = jnp.take_along_axis(rows_l, wanted, axis=1)
             g = jnp.where(lvl == l, g_l, g)
         out_ref[pl.ds(base, block), :] = jnp.dot(
@@ -460,10 +515,12 @@ def _slab_level(meta, lc, block, lane_pad, bary_pad, gup_pad, lane_i, l):
 
 
 def _bwd_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
-                   rows_ref, lane_ref, bary_ref, gup_ref,
+                   spans: tuple,
+                   rows_ref, lane_ref, bary_ref, gup_ref, rowsh_ref,
                    dtab_ref, sbuf_a, sbuf_b):
     """Software-pipelined table-only backward: block j's slab build (VPU)
-    interleaves with block j−1's scatter-add (scalar core), A/B staging."""
+    interleaves with block j−1's scatter-add (scalar core), A/B staging.
+    MXU span levels scatter-add as onehotᵀ @ slab instead."""
     from jax.experimental import pallas as pl
 
     @pl.when(pl.program_id(0) == 0)
@@ -473,8 +530,13 @@ def _bwd_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
     nblk = tile // block
     assert nblk % 2 == 0
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+    mxu = {li: (start, k_pad) for li, start, k_pad in spans}
 
     def scatter_level(sbuf, base, l):
+        if l in mxu:
+            _mxu_scatter_pc(dtab_ref, sbuf, rowsh_ref, base, block, l,
+                            *mxu[l], slab_row0=l * block)
+            return
         for kk in range(block):
             r = rows_ref[l, base + kk]
             dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
@@ -619,9 +681,10 @@ def _bwd_full_kernel(meta: PermutoCellMeta, lc: int, tile: int,
 
 
 def _bwd_full_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int,
-                        block: int,
+                        block: int, spans: tuple,
                         rows_ref, lane_ref, bary_ref, gup_ref,
-                        sel1_ref, sel2_ref, wmat_ref, table_ref,
+                        sel1_ref, sel2_ref, wmat_ref, rowsv_ref, rowsh_ref,
+                        table_ref,
                         dtab_ref, dx_ref, gbuf_a, gbuf_b, sbuf_a, sbuf_b):
     """Software-pipelined full backward: gather j+1 and scatter j−1
     interleave with block j's dx/slab vector math (scheme of lotd_brick
@@ -643,13 +706,20 @@ def _bwd_full_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int,
     kv = q >> 1
     f = q & 1
     sel = jnp.minimum(lvl * vp + kv, LANES - 1)
+    mxu = {li: (start, k_pad) for li, start, k_pad in spans}
 
     def gather_level(buf, base, l):
+        if l in mxu:
+            return
         for kk in range(block):
             buf[pl.ds(l * block + kk, 1), :] = \
                 table_ref[pl.ds(rows_ref[l, base + kk], 1), :]
 
     def scatter_level(sbuf, base, l):
+        if l in mxu:
+            _mxu_scatter_pc(dtab_ref, sbuf, rowsh_ref, base, block, l,
+                            *mxu[l], slab_row0=l * block)
+            return
         for kk in range(block):
             r = rows_ref[l, base + kk]
             dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
@@ -674,7 +744,11 @@ def _bwd_full_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int,
             def _(l=l):
                 scatter_level(prev_sbuf, prev_base, l)
 
-            rows_l = gbuf[pl.ds(l * block, block), :]
+            if l in mxu:
+                rows_l = _mxu_rows_pc(table_ref, rowsv_ref, base, block,
+                                      l, *mxu[l])
+            else:
+                rows_l = gbuf[pl.ds(l * block, block), :]
             g_l = jnp.take_along_axis(rows_l, wanted, axis=1)
             g = jnp.where(lvl == l, g_l, g)
 
@@ -712,6 +786,8 @@ def _bwd_full_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int,
 _MAX_CHUNK = 1 << 19
 _FWD_VERSION = 3      # 3 = software-pipelined fwd; 2 = phase-serial
 _FWD_BLOCK = 1024     # points per pipeline stage (see lotd_brick A/B)
+_MXU_DENSE = True     # fetch/scatter small levels via one-hot MXU matmuls
+_MXU_MAX_ROWS = 2048  # row cap (same reasoning as lotd_brick._MXU_MAX_ROWS)
 
 
 def _pad_points(x: Array, tile: int):
@@ -754,12 +830,33 @@ def _encode_pallas(x: Array, table: Array, meta: PermutoCellMeta,
         m = jnp.asarray(_reduce_matrix(meta, lc), table.dtype)
         block = _FWD_BLOCK
         if _FWD_VERSION == 3 and tile % (2 * block) == 0:
-            kernel = functools.partial(_fwd_kernel_v3, meta, lc, tile, block)
+            kernel = functools.partial(_fwd_kernel_v3, meta, lc, tile,
+                                       block, _mxu_spans(group))
             scratch = [pltpu.VMEM((lc * block, LANES), table.dtype)
                        for _ in range(2)]
-        else:
-            kernel = functools.partial(_fwd_kernel, meta, lc, tile)
-            scratch = [pltpu.VMEM((lc * tile, LANES), table.dtype)]
+            y = pl.pallas_call(
+                kernel,
+                grid=(n_pad // tile,),
+                in_specs=[
+                    pl.BlockSpec((lc, tile), lambda i: (0, i),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((tile, lane_c.shape[1]), lambda i: (i, 0)),
+                    pl.BlockSpec((tile, bary_c.shape[1]), lambda i: (i, 0)),
+                    pl.BlockSpec((tile, lc), lambda i: (i, 0)),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((tile, 2 * lc), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((n_pad, 2 * lc), table.dtype),
+                scratch_shapes=scratch,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=110 * 1024 * 1024),
+                interpret=interpret,
+            )(rows, lane_c, bary_c, rows.T, table_g, m)
+            outs.append(y[:n])
+            continue
+        kernel = functools.partial(_fwd_kernel, meta, lc, tile)
+        scratch = [pltpu.VMEM((lc * tile, LANES), table.dtype)]
         y = pl.pallas_call(
             kernel,
             grid=(n_pad // tile,),
@@ -816,12 +913,33 @@ def _bwd_table_pallas(g_up: Array, x: Array, meta: PermutoCellMeta,
             g_up, 2 * gi * meta.levels_per_call, 2 * lc, axis=1)
         block = _FWD_BLOCK
         if _FWD_VERSION == 3 and tile % (2 * block) == 0:
-            kernel = functools.partial(_bwd_kernel_v3, meta, lc, tile, block)
+            kernel = functools.partial(_bwd_kernel_v3, meta, lc, tile,
+                                       block, _mxu_spans(group))
             scratch = [pltpu.VMEM((lc * block, LANES), dtype)
                        for _ in range(2)]
-        else:
-            kernel = functools.partial(_bwd_kernel, meta, lc, tile)
-            scratch = [pltpu.VMEM((lc * tile, LANES), dtype)]
+            d = pl.pallas_call(
+                kernel,
+                grid=(n_pad // tile,),
+                in_specs=[
+                    pl.BlockSpec((lc, tile), lambda i: (0, i),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((tile, lane_c.shape[1]), lambda i: (i, 0)),
+                    pl.BlockSpec((tile, bary_c.shape[1]), lambda i: (i, 0)),
+                    pl.BlockSpec((tile, 2 * lc), lambda i: (i, 0)),
+                    pl.BlockSpec((lc, tile), lambda i: (0, i)),
+                ],
+                out_specs=pl.BlockSpec((g_rows, LANES), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((g_rows, LANES), dtype),
+                scratch_shapes=scratch,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=110 * 1024 * 1024),
+                interpret=interpret,
+            )(rows, lane_c, bary_c, gup_g, rows)
+            dtab = dtab.at[base:base + g_rows].set(d)
+            continue
+        kernel = functools.partial(_bwd_kernel, meta, lc, tile)
+        scratch = [pltpu.VMEM((lc * tile, LANES), dtype)]
         d = pl.pallas_call(
             kernel,
             grid=(n_pad // tile,),
@@ -903,12 +1021,45 @@ def _bwd_full_pallas(g_up: Array, x: Array, table: Array,
         block = _FWD_BLOCK
         if _FWD_VERSION == 3 and tile % (2 * block) == 0:
             kernel = functools.partial(_bwd_full_kernel_v3, meta, lc, tile,
-                                       block)
+                                       block, _mxu_spans(group))
             scratch = [pltpu.VMEM((lc * block, LANES), table.dtype)
                        for _ in range(4)]
-        else:
-            kernel = functools.partial(_bwd_full_kernel, meta, lc, tile)
-            scratch = [pltpu.VMEM((lc * tile, LANES), table.dtype)]
+            dtab_g, dx_g = pl.pallas_call(
+                kernel,
+                grid=(n_pad // tile,),
+                in_specs=[
+                    pl.BlockSpec((lc, tile), lambda i: (0, i),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((tile, lane_c.shape[1]), lambda i: (i, 0)),
+                    pl.BlockSpec((tile, bary_c.shape[1]), lambda i: (i, 0)),
+                    pl.BlockSpec((tile, 2 * lc), lambda i: (i, 0)),
+                    pl.BlockSpec((tile, LANES), lambda i: (i, 0)),
+                    pl.BlockSpec((tile, LANES), lambda i: (i, 0)),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tile, lc), lambda i: (i, 0)),
+                    pl.BlockSpec((lc, tile), lambda i: (0, i)),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((g_rows, LANES), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tile, d), lambda i: (i, 0)),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((g_rows, LANES), table.dtype),
+                    jax.ShapeDtypeStruct((n_pad, d), table.dtype),
+                ),
+                scratch_shapes=scratch,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=110 * 1024 * 1024),
+                interpret=interpret,
+            )(row_arr, lane_c, bary_c, gup_g, sel1, sel2, wmat,
+              row_arr.T, row_arr, table_g)
+            dtab = dtab.at[base:base + g_rows].set(dtab_g)
+            dx_total = dx_total + dx_g
+            continue
+        kernel = functools.partial(_bwd_full_kernel, meta, lc, tile)
+        scratch = [pltpu.VMEM((lc * tile, LANES), table.dtype)]
         dtab_g, dx_g = pl.pallas_call(
             kernel,
             grid=(n_pad // tile,),

@@ -57,17 +57,21 @@ def test_pallas_interpret_parity(rng):
         y_ref = PC.permuto_cell_encode_xla(x, table, meta)
         # both the pipelined v3 (block=128 so the 256-tile triggers it)
         # and the phase-serial v2 kernels
-        saved = (PC._FWD_VERSION, PC._FWD_BLOCK)
+        # v3 with the one-hot MXU gather on AND off (all test levels are
+        # small → mxu=False keeps the scalar gather covered), plus v2
+        saved = (PC._FWD_VERSION, PC._FWD_BLOCK, PC._MXU_DENSE)
         try:
-            for ver, blk in ((3, 128), (2, 128)):
+            for ver, blk, mxu in ((3, 128, True), (3, 128, False),
+                                  (2, 128, True)):
                 PC._FWD_VERSION, PC._FWD_BLOCK = ver, blk
+                PC._MXU_DENSE = mxu
                 y_k = PC._encode_pallas(x, table, meta, tile=256,
                                         interpret=True)
                 np.testing.assert_allclose(
                     np.asarray(y_k), np.asarray(y_ref), rtol=2e-4,
-                    atol=2e-4, err_msg=f"d={d} L={len(res)} v{ver}")
+                    atol=2e-4, err_msg=f"d={d} L={len(res)} v{ver} mxu={mxu}")
         finally:
-            PC._FWD_VERSION, PC._FWD_BLOCK = saved
+            PC._FWD_VERSION, PC._FWD_BLOCK, PC._MXU_DENSE = saved
 
 
 def test_pallas_backward_interpret_parity(rng):
@@ -79,18 +83,20 @@ def test_pallas_backward_interpret_parity(rng):
     _, vjp_fn = jax.vjp(
         lambda tt: PC.permuto_cell_encode_xla(x, tt, meta), table)
     dtab_ref = vjp_fn(g)[0]
-    saved = (PC._FWD_VERSION, PC._FWD_BLOCK)
+    saved = (PC._FWD_VERSION, PC._FWD_BLOCK, PC._MXU_DENSE)
     try:
-        for ver, blk in ((3, 128), (2, 128)):
+        for ver, blk, mxu in ((3, 128, True), (3, 128, False),
+                              (2, 128, True)):
             PC._FWD_VERSION, PC._FWD_BLOCK = ver, blk
+            PC._MXU_DENSE = mxu
             dtab_k = PC._bwd_table_pallas(g, x, meta, jnp.float32, tile=256,
                                           interpret=True)
             np.testing.assert_allclose(np.asarray(dtab_k),
                                        np.asarray(dtab_ref),
                                        rtol=2e-4, atol=2e-4,
-                                       err_msg=f"v{ver}")
+                                       err_msg=f"v{ver} mxu={mxu}")
     finally:
-        PC._FWD_VERSION, PC._FWD_BLOCK = saved
+        PC._FWD_VERSION, PC._FWD_BLOCK, PC._MXU_DENSE = saved
 
 
 def test_custom_vjp_cpu_matches_autodiff(rng):
@@ -186,13 +192,16 @@ def test_pallas_full_backward_interpret_parity(rng):
         _, vjp_fn = jax.vjp(
             lambda xx, tt: PC.permuto_cell_encode_xla(xx, tt, meta), x, table)
         dx_ref, dtab_ref = vjp_fn(g)
-        saved = (PC._FWD_VERSION, PC._FWD_BLOCK)
+        saved = (PC._FWD_VERSION, PC._FWD_BLOCK, PC._MXU_DENSE)
         # v3 only on the small configs — the 18-level one interprets
-        # slowly and the pipelined path is config-independent
-        vers = ((3, 128), (2, 128)) if len(res) <= 2 else ((2, 128),)
+        # slowly and the pipelined path is config-independent; the v3
+        # passes run MXU on and off (all test levels are MXU-eligible)
+        vers = ((3, 128, True), (3, 128, False), (2, 128, True)) \
+            if len(res) <= 2 else ((2, 128, True),)
         try:
-            for ver, blk in vers:
+            for ver, blk, mxu in vers:
                 PC._FWD_VERSION, PC._FWD_BLOCK = ver, blk
+                PC._MXU_DENSE = mxu
                 dx_k, dtab_k = PC._bwd_full_pallas(g, x, table, meta,
                                                    tile=256, interpret=True)
                 np.testing.assert_allclose(
@@ -202,7 +211,7 @@ def test_pallas_full_backward_interpret_parity(rng):
                     np.asarray(dx_k), np.asarray(dx_ref), rtol=2e-3,
                     atol=2e-3, err_msg=f"dx d={d} L={len(res)} v{ver}")
         finally:
-            PC._FWD_VERSION, PC._FWD_BLOCK = saved
+            PC._FWD_VERSION, PC._FWD_BLOCK, PC._MXU_DENSE = saved
 
 
 def test_auto_dense_levels(rng):
