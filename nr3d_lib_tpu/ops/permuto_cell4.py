@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -319,14 +319,11 @@ def _bwd4_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
 
 
 # ---------------------------------------------------------------- plumbing
-def _prologue4(x: Array, meta: PermutoCellMeta, dtype, group, gi: int):
+def _prologue4(x: Array, meta: PermutoCellMeta, dtype, group):
     """F=2 prologue (lane indices are shared) + F=4 dx selectors padded to
     the wmat lane layout (lane = li·vp + i)."""
     rows, lane_c, bary_c = _prologue(x, meta, dtype, group)
-    n = x.shape[0]
-    lc = len(group)
     vp = meta.vp
-    sel1 = np.zeros(0)
     s1_cols, s2_cols = [], []
     for li, level in enumerate(group):
         _, _, _, rank = _level_rows_lanes_bary(x, level, meta)
@@ -429,7 +426,7 @@ def _bwd4_pallas(x: Array, table_unpacked: Array, g_up: Array,
         g_rows = sum(l.n_rows for l in group)
         table_g = jax.lax.dynamic_slice_in_dim(table, base, g_rows, axis=0)
         rows, lane_c, bary_c, sel1, sel2 = _prologue4(
-            x, meta, jnp.float32, group, 0)
+            x, meta, jnp.float32, group)
         rows = rows - base
         gup_g = g_up[:, col:col + 4 * lc]
         col += 4 * lc
