@@ -72,6 +72,8 @@ class LoTDSDF(nnx.Module):
         kernel pair (reference lotd.py:193 / lotd_encoding.h:765)."""
         if getattr(self, "_enc_is_brick", False):
             return self._forward_sdf_nablas_brick(x)
+        if getattr(self, "_enc_is_cell", False):
+            return self._forward_sdf_nablas_cell(x)
 
         def f(xx):
             out = self._sdf_h(xx, ho=has_grad)
@@ -120,6 +122,7 @@ class PermutoSDF(nnx.Module):
         cfg.setdefault("res_list", [8.0, 16.0, 32.0, 64.0, 128.0])
         cfg.setdefault("n_feats", 2)
         cfg.setdefault("log2_hashmap_size", 17)
+        self._enc_is_cell = cfg.get("backend", "xla") == "cell"
         self.bank = PermutoParams(
             3, cfg["res_list"], n_feats=cfg["n_feats"],
             log2_hashmap_size=cfg["log2_hashmap_size"],
@@ -145,6 +148,29 @@ class PermutoSDF(nnx.Module):
     forward_sdf = LoTDSDF.forward_sdf
     forward_sdf_nablas = LoTDSDF.forward_sdf_nablas
 
+    def _forward_sdf_nablas_cell(self, x: Array) -> Dict[str, Array]:
+        """Split nablas for the cell backends: decoder term by plain
+        (2nd-order-safe) vjp + encoding term via the dedicated cell nablas
+        kernel (cf. _forward_sdf_nablas_brick)."""
+        batch = x.shape[:-1]
+        xf = x.reshape(-1, 3)
+        x01 = xf * 0.5 + 0.5
+        h_enc = self.bank.encode(x01)
+
+        def dec(xx, hh):
+            out = self.decoder(jnp.concatenate([xx, hh], -1))
+            if self.radius_init > 0:
+                out = out.at[..., 0].add(jnp.linalg.norm(xx, axis=-1)
+                                         - self.radius_init)
+            return out[..., 0], out[..., 1:]
+
+        (sdf, h), dec_vjp = jax.vjp(dec, xf, h_enc)
+        gx, gh = dec_vjp((jnp.ones_like(sdf), jnp.zeros_like(h)))
+        nablas = gx + 0.5 * self.bank.nablas(gh, x01)
+        return {"sdf": sdf.reshape(batch),
+                "h": h.reshape(*batch, h.shape[-1]),
+                "nablas": nablas.reshape(*batch, 3)}
+
     def __call__(self, x: Array) -> Array:
         return self._sdf_h(x)[..., 0]
 
@@ -168,6 +194,29 @@ class MlpSDF(nnx.Module):
 
     forward_sdf = LoTDSDF.forward_sdf
     forward_sdf_nablas = LoTDSDF.forward_sdf_nablas
+
+    def _forward_sdf_nablas_cell(self, x: Array) -> Dict[str, Array]:
+        """Split nablas for the cell backends: decoder term by plain
+        (2nd-order-safe) vjp + encoding term via the dedicated cell nablas
+        kernel (cf. _forward_sdf_nablas_brick)."""
+        batch = x.shape[:-1]
+        xf = x.reshape(-1, 3)
+        x01 = xf * 0.5 + 0.5
+        h_enc = self.bank.encode(x01)
+
+        def dec(xx, hh):
+            out = self.decoder(jnp.concatenate([xx, hh], -1))
+            if self.radius_init > 0:
+                out = out.at[..., 0].add(jnp.linalg.norm(xx, axis=-1)
+                                         - self.radius_init)
+            return out[..., 0], out[..., 1:]
+
+        (sdf, h), dec_vjp = jax.vjp(dec, xf, h_enc)
+        gx, gh = dec_vjp((jnp.ones_like(sdf), jnp.zeros_like(h)))
+        nablas = gx + 0.5 * self.bank.nablas(gh, x01)
+        return {"sdf": sdf.reshape(batch),
+                "h": h.reshape(*batch, h.shape[-1]),
+                "nablas": nablas.reshape(*batch, 3)}
 
     def __call__(self, x: Array) -> Array:
         return self._sdf_h(x)[..., 0]

@@ -76,9 +76,31 @@ class DynamicPermutoConcatSDF(nnx.Module):
         return {"sdf": out[..., 0], "h": out[..., 1:]}
 
     def forward_sdf_nablas(self, x: Array, ts: Array) -> Dict[str, Array]:
+        if self.bank.backend == "cell":
+            # split: decoder term by plain vjp + the 4D (x,t) encoding term
+            # via the dedicated cell nablas kernel; spatial nablas are the
+            # first 3 of the 4 lattice-input gradients (t is held fixed)
+            ts_b = jnp.broadcast_to(jnp.asarray(ts).reshape(-1, 1)
+                                    if jnp.ndim(ts) <= 1 else ts,
+                                    x.shape[:-1] + (1,))
+            inp = jnp.concatenate([x * 0.5 + 0.5, ts_b * 0.5 + 0.5], -1)
+            h_enc = self.bank.encode(inp)
+
+            def dec(xx, hh):
+                out = self.decoder(jnp.concatenate([xx, hh], -1))
+                if self.radius_init > 0:
+                    out = out.at[..., 0].add(
+                        jnp.linalg.norm(xx, axis=-1) - self.radius_init)
+                return out[..., 0], out[..., 1:]
+
+            (sdf, h), dec_vjp = jax.vjp(dec, x, h_enc)
+            gx, gh = dec_vjp((jnp.ones_like(sdf), jnp.zeros_like(h)))
+            nablas = gx + 0.5 * self.bank.nablas(gh, inp)[..., :3]
+            return {"sdf": sdf, "h": h, "nablas": nablas}
+
         def f(xx):
-            # ho: eikonal losses differentiate through this vjp — the cell
-            # backend routes to its all-orders XLA formulation here
+            # ho: eikonal losses differentiate through this vjp — the xla
+            # backend supports all autodiff orders directly
             out = self._sdf_h(xx, ts, ho=True)
             return out[..., 0], out[..., 1:]
 

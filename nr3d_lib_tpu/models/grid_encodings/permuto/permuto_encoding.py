@@ -89,6 +89,24 @@ class PermutoParams(nnx.Module):
             y = _permuto.permuto_encode(flat, p, self.meta, **kw)
         return y.reshape(*batch, y.shape[-1])
 
+    def nablas(self, g_up: Array, inp: Array) -> Array:
+        """J_enc(inp)ᵀ·g_up in the lattice's [0,1] input space via the
+        dedicated cell nablas kernels (Pallas forward; any-order XLA
+        backward — bary weights are affine in x within a simplex). Cell
+        backends only; the xla backend differentiates `encode(ho=True)`."""
+        assert self.backend == "cell"
+        p = self.flattened_params[...]
+        batch = inp.shape[:-1]
+        flat = inp.reshape(-1, inp.shape[-1])
+        gf = g_up.reshape(-1, g_up.shape[-1])
+        if getattr(self, "n_feats", 2) == 4:
+            from nr3d_lib_tpu.ops import permuto_cell4 as _pc4
+
+            nab = _pc4.permuto_cell4_nablas(gf, flat, p, self.meta)
+        else:
+            nab = _pcell.permuto_cell_nablas(gf, flat, p, self.meta)
+        return nab.reshape(*batch, nab.shape[-1])
+
     def state_dict(self):
         return {"flattened_params": self.flattened_params[...]}
 

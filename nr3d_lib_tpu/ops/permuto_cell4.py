@@ -525,3 +525,167 @@ def _bwd4_frozen(meta, res, g):
 
 
 permuto_cell4_encode_frozen_x.defvjp(_fwd4_frozen, _bwd4_frozen)
+
+
+# ------------------------------------------------------------- nablas (dydx)
+def _dydx4_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
+                     rows_ref, lane_ref, bary_ref, gup_ref,
+                     sel1_ref, sel2_ref, wmat_ref, table_ref,
+                     dx_ref, buf_a, buf_b):
+    """dL/dx only for the packed F=4 cells (the `_bwd4_kernel_v3` dx math
+    without the dtable slab/scatter)."""
+    from jax.experimental import pallas as pl
+
+    nblk = tile // block
+    assert nblk % 2 == 0
+    s4 = _stride4(meta)
+    shift = s4.bit_length() - 1
+    vp = meta.vp
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+    lvl = jnp.minimum(lane_i >> shift, lc - 1)
+    q = lane_i & (s4 - 1)
+    kv = q >> 2
+    f = q & 3
+    half = f & 1
+    sel = jnp.minimum(lvl * vp + kv, LANES - 1)
+
+    def gather_level(buf, base, l):
+        for kk in range(block):
+            buf[pl.ds(l * block + kk, 1), :] = \
+                table_ref[pl.ds(rows_ref[l, base + kk], 1), :]
+
+    def process(buf, base, next_base):
+        lane_pad = jnp.pad(lane_ref[pl.ds(base, block), :],
+                           ((0, 0), (0, LANES - lane_ref.shape[1])))
+        gup_pad = jnp.pad(gup_ref[pl.ds(base, block), :],
+                          ((0, 0), (0, LANES - gup_ref.shape[1])))
+        wanted = jnp.take_along_axis(lane_pad, sel, axis=1) + (f >> 1)
+        other = buf_b if buf is buf_a else buf_a
+        g = jnp.zeros((block, LANES), buf.dtype)
+        for l in range(lc):
+            @pl.when(next_base < tile)
+            def _(l=l):
+                gather_level(other, next_base, l)
+
+            rows_l = buf[pl.ds(l * block, block), :]
+            g_l = jnp.take_along_axis(rows_l, wanted, axis=1)
+            g = jnp.where(lvl == l, g_l, g)
+        gval = _unpack_bits(g, half)
+        gb = jnp.take_along_axis(gup_pad, lvl * 4 + f, axis=1)
+        gbg = gb * gval
+        pair = gbg + jnp.take_along_axis(gbg, lane_i ^ 1, axis=1)
+        gfsum = pair + jnp.take_along_axis(pair, lane_i ^ 2, axis=1)
+        delev = (jnp.take_along_axis(gfsum, sel1_ref[pl.ds(base, block), :],
+                                     axis=1)
+                 - jnp.take_along_axis(gfsum,
+                                       sel2_ref[pl.ds(base, block), :],
+                                       axis=1))
+        dx_ref[pl.ds(base, block), :] = jnp.dot(
+            delev, wmat_ref[:], preferred_element_type=jnp.float32
+        ).astype(dx_ref.dtype)
+
+    for l in range(lc):
+        gather_level(buf_a, 0, l)
+
+    def body(j, _):
+        b0 = 2 * j * block
+        process(buf_a, b0, b0 + block)
+        process(buf_b, b0 + block, b0 + 2 * block)
+        return 0
+
+    jax.lax.fori_loop(0, nblk // 2, body, 0)
+
+
+def _dydx4_pallas(g_up: Array, x: Array, table_unpacked: Array,
+                  meta: PermutoCellMeta, tile: int = 2048,
+                  interpret: bool = False) -> Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = meta.n_dims
+    n0 = x.shape[0]
+    if n0 > _MAX_CHUNK:
+        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
+        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)),
+                     constant_values=0.5)
+        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
+        return jnp.concatenate(
+            [_dydx4_pallas(gp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
+                           xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
+                           table_unpacked, meta, tile, interpret)
+             for i in range(k)], axis=0)[:n0]
+    table = pack_table4(table_unpacked)
+    x, n = _pad_points(x, tile)
+    n_pad = x.shape[0]
+    if g_up.shape[0] != n_pad:
+        g_up = jnp.pad(g_up, ((0, n_pad - g_up.shape[0]), (0, 0)))
+    dx_total = jnp.zeros((n_pad, d), jnp.float32)
+    col = 0
+    for group in _level_groups4(meta):
+        lc = len(group)
+        base = group[0].row_offset
+        g_rows = sum(l.n_rows for l in group)
+        table_g = jax.lax.dynamic_slice_in_dim(table, base, g_rows, axis=0)
+        rows, lane_c, bary_c, sel1, sel2 = _prologue4(
+            x, meta, jnp.float32, group)
+        rows = rows - base
+        gup_g = g_up[:, col:col + 4 * lc]
+        col += 4 * lc
+        wmat = jnp.asarray(_dx_weight_matrix(meta, group), jnp.float32)
+        block = _FWD_BLOCK if tile % (2 * _FWD_BLOCK) == 0 else tile // 2
+        kernel = functools.partial(_dydx4_kernel_v3, meta, lc, tile, block)
+        dx_g = pl.pallas_call(
+            kernel,
+            grid=(n_pad // tile,),
+            in_specs=[
+                pl.BlockSpec((lc, tile), lambda i: (0, i),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, lane_c.shape[1]), lambda i: (i, 0)),
+                pl.BlockSpec((tile, bary_c.shape[1]), lambda i: (i, 0)),
+                pl.BlockSpec((tile, 4 * lc), lambda i: (i, 0)),
+                pl.BlockSpec((tile, LANES), lambda i: (i, 0)),
+                pl.BlockSpec((tile, LANES), lambda i: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((lc * block, LANES), jnp.float32)
+                            for _ in range(2)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(rows, lane_c, bary_c, gup_g, sel1, sel2, wmat, table_g)
+        dx_total = dx_total + dx_g
+    return dx_total[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def permuto_cell4_nablas(g_up: Array, x: Array, table: Array,
+                         meta: PermutoCellMeta) -> Array:
+    """Differentiable F=4 cell nablas (cf. permuto_cell_nablas): Pallas
+    forward on TPU, any-order XLA backward."""
+    if jax.default_backend() == "tpu":
+        return _dydx4_pallas(g_up, x, table, meta)
+    _, vjp_fn = jax.vjp(
+        lambda xx: permuto_cell4_encode_xla(xx, table, meta), x)
+    return vjp_fn(g_up)[0]
+
+
+def _nab4_fwd(g_up, x, table, meta):
+    return permuto_cell4_nablas(g_up, x, table, meta), (g_up, x, table)
+
+
+def _nab4_bwd(meta, res, gg):
+    g_up, x, table = res
+
+    def nab_fn(gu, xx, tt):
+        _, vjp_fn = jax.vjp(
+            lambda x_: permuto_cell4_encode_xla(x_, tt, meta), xx)
+        return vjp_fn(gu)[0]
+
+    _, vjp2 = jax.vjp(nab_fn, g_up, x, table)
+    return vjp2(gg)
+
+
+permuto_cell4_nablas.defvjp(_nab4_fwd, _nab4_bwd)

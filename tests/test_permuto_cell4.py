@@ -103,3 +103,61 @@ def test_custom_vjp_cpu_and_fit(rng):
     for _ in range(150):
         tt, ost, l = step(tt, ost)
     assert float(l) < 0.5 * l0
+
+
+def test_nablas4_kernel_and_dynamic_field(rng):
+    """F=4 cell nablas kernel parity (interpret) + the dynamic SDF's split
+    nablas path vs full autodiff (4D x,t encode; spatial grads only)."""
+    meta = P4.make_permuto_cell4_meta(3, [3.0, 7.0], hashmap_rows=128)
+    table = jnp.asarray(rng.standard_normal((meta.total_rows, 256))
+                        .astype(np.float32))
+    n = 512
+    x = jnp.asarray(rng.uniform(0.05, 0.95, (n, 3)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((n, 4 * meta.n_levels))
+                    .astype(np.float32))
+    _, vjp_x = jax.vjp(
+        lambda xx: P4.permuto_cell4_encode_xla(xx, table, meta), x)
+    nab_ref = vjp_x(g)[0]
+    saved = P4._FWD_BLOCK
+    P4._FWD_BLOCK = 256
+    try:
+        nab_k = P4._dydx4_pallas(g, x, table, meta, tile=512,
+                                 interpret=True)
+    finally:
+        P4._FWD_BLOCK = saved
+    np.testing.assert_allclose(np.asarray(nab_k), np.asarray(nab_ref),
+                               rtol=2e-3, atol=2e-3)
+
+    # dynamic field split path (cell backend routes through bank.nablas)
+    from flax import nnx
+
+    from nr3d_lib_tpu.models.fields_dynamic import DynamicPermutoConcatSDF
+
+    f = DynamicPermutoConcatSDF(
+        permuto_cfg={"res_list": [3.0, 6.0], "backend": "cell",
+                     "n_feats": 4, "hashmap_rows": 128},
+        decoder_cfg={"D": 1, "W": 16})
+    xs = jnp.asarray(rng.uniform(-0.9, 0.9, (64, 3)).astype(np.float32))
+    ts = jnp.full((64,), 0.25)
+    out = f.forward_sdf_nablas(xs, ts)
+
+    def f_ref(xx):
+        o = f._sdf_h(xx, ts, ho=True)
+        return o[..., 0], o[..., 1:]
+
+    (sdf_ref, h_ref), vjp_fn = jax.vjp(f_ref, xs)
+    nab_ref2 = vjp_fn((jnp.ones_like(sdf_ref), jnp.zeros_like(h_ref)))[0]
+    np.testing.assert_allclose(np.asarray(out["sdf"]),
+                               np.asarray(sdf_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["nablas"]),
+                               np.asarray(nab_ref2), rtol=1e-4, atol=1e-5)
+
+    gdef, state = nnx.split(f)
+
+    def loss(s):
+        m = nnx.merge(gdef, s)
+        o = m.forward_sdf_nablas(xs, ts)
+        return jnp.mean((jnp.linalg.norm(o["nablas"], axis=-1) - 1) ** 2)
+
+    gr = jax.grad(loss)(state)
+    assert all(bool(jnp.isfinite(v).all()) for v in jax.tree.leaves(gr))
