@@ -89,6 +89,27 @@ class GenerativePermutoConcatSDF(nnx.Module):
         return {"sdf": out[..., 0], "h": out[..., 1:]}
 
     def forward_sdf_nablas(self, x: Array, z: Array) -> Dict[str, Array]:
+        if self.bank.backend == "cell":
+            # split: decoder vjp + encoding nablas kernel; spatial grads
+            # are the first 3 of the (x, z) lattice-input gradients
+            z_b = jnp.broadcast_to(z, x.shape[:-1] + (self.z_dim,))
+            inp = jnp.concatenate([x * 0.5 + 0.5,
+                                   jnp.tanh(z_b * self.z_scale) * 0.5 + 0.5],
+                                  -1)
+            h_enc = self.bank.encode(inp)
+
+            def dec(xx, hh):
+                out = self.decoder(jnp.concatenate([xx, hh], -1))
+                if self.radius_init > 0:
+                    out = out.at[..., 0].add(
+                        jnp.linalg.norm(xx, axis=-1) - self.radius_init)
+                return out[..., 0], out[..., 1:]
+
+            (sdf, h), dec_vjp = jax.vjp(dec, x, h_enc)
+            gx, gh = dec_vjp((jnp.ones_like(sdf), jnp.zeros_like(h)))
+            nablas = gx + 0.5 * self.bank.nablas(gh, inp)[..., :3]
+            return {"sdf": sdf, "h": h, "nablas": nablas}
+
         def f(xx):
             out = self._sdf_h(xx, z, ho=True)
             return out[..., 0], out[..., 1:]
