@@ -39,6 +39,22 @@ def _timed(fn, *args):
 
 
 def main():
+    import os
+
+    t_start = time.time()
+    budget = float(os.environ.get("BENCH_BUDGET_S", 2100))
+
+    def over_budget(section):
+        import sys
+
+        if time.time() - t_start > budget:
+            print(f"# skipping {section}: past BENCH_BUDGET_S={budget:.0f}"
+                  f" ({time.time() - t_start:.0f}s elapsed) — the headline"
+                  f" JSON line must not be lost to a driver timeout",
+                  file=sys.stderr, flush=True)
+            return True
+        return False
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -173,6 +189,8 @@ def main():
     # gather issues per point — the TPU-optimal configuration of the same
     # capacity. Reported per-POINT (16 features either way).
     try:
+        if over_budget("brick4"):
+            raise TimeoutError
         from nr3d_lib_tpu.ops import lotd_brick4 as B4
 
         meta4 = B4.make_brick4_meta([16, 64, 256, 1024],
@@ -220,6 +238,8 @@ def main():
     # — 1 gather/(pt,level); reference csrc/permuto). Same 8-level, 3.6M-pt
     # workload shape.
     try:
+        if over_budget("permuto"):
+            raise TimeoutError
         from nr3d_lib_tpu.ops import permuto_cell as PC
 
         pmeta = PC.make_permuto_cell_meta(
@@ -256,6 +276,8 @@ def main():
 
     # bf16-packed F=4 cells: 4 levels carry the same 16 features
     try:
+        if over_budget("permuto4"):
+            raise TimeoutError
         from nr3d_lib_tpu.ops import permuto_cell4 as PC4
 
         pmeta4 = PC4.make_permuto_cell4_meta(
@@ -294,6 +316,8 @@ def main():
     # optimizes — occupancy compression cuts the NUMBER of gathers; see
     # docs/DESIGN.md §3 consequences). Round-1 march_occ+XLA: 50.4 Krays/s.
     try:
+        if over_budget("render/train"):
+            raise TimeoutError
         import importlib.util
         import os
 
