@@ -38,15 +38,43 @@ def _timed(fn, *args):
     return time.perf_counter() - t0
 
 
+def _device_probe_ok(timeout_s: float = 240.0) -> bool:
+    """Timeboxed subprocess probe of backend init.
+
+    The axon TPU tunnel, when down, HANGS `jax.devices()` indefinitely
+    (observed >400 s) instead of erroring — which would hang this whole
+    bench and lose the headline JSON line. Probe in a subprocess we can
+    kill; on failure the caller falls back to CPU with a marked detail.
+    (The chip lock is process-exclusive; the probe exits and releases it.)
+    """
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert len(jax.devices()) > 0"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def main():
     import os
 
     t_start = time.time()
     budget = float(os.environ.get("BENCH_BUDGET_S", 2100))
+    cpu_fallback = not _device_probe_ok()
 
     def over_budget(section):
         import sys
 
+        if cpu_fallback:
+            print(f"# skipping {section}: cpu fallback (tunnel dead); "
+                  f"Pallas sections need the TPU", file=sys.stderr,
+                  flush=True)
+            return True
         if time.time() - t_start > budget:
             print(f"# skipping {section}: past BENCH_BUDGET_S={budget:.0f}"
                   f" ({time.time() - t_start:.0f}s elapsed) — the headline"
@@ -55,7 +83,15 @@ def main():
             return True
         return False
 
+    import sys
+
     import jax
+
+    if cpu_fallback:
+        # tunnel dead: still emit an honest (tiny) number instead of nothing
+        print("# device probe failed/hung — falling back to CPU, pure-XLA "
+              "path, reduced workload", file=sys.stderr, flush=True)
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -69,7 +105,7 @@ def main():
         ["Dense", "Dense", "Dense", "Hash", "Hash", "Hash", "Hash", "Hash"],
         hashmap_rows=4096)
 
-    n_pts = 3_600_000
+    n_pts = 360_000 if cpu_fallback else 3_600_000
     k1, k2, k3, k4 = jax.random.split(jax.random.key(0), 4)
     table = jax.random.normal(k1, (meta.total_rows, 128), jnp.float32) * 1e-2
     x_rand = jax.random.uniform(k2, (n_pts, 3), jnp.float32)
@@ -86,12 +122,15 @@ def main():
     # IMPORTANT: x/table must be jit ARGUMENTS, never closure captures — a
     # large closed-over device array becomes a jaxpr constant and the axon
     # compile path degenerates (274 s vs 3 s observed for the same program).
+    use_pallas = not cpu_fallback
+
     def fwd(xx, tt, coherent):
-        return B.brick_encode(xx, tt, meta, True, coherent)
+        return B.brick_encode(xx, tt, meta, use_pallas, coherent)
 
     def fwdbwd(xx, tt, coherent):
         def loss(t_, x_):
-            return jnp.sum(B.brick_encode(x_, t_, meta, True, coherent) ** 2)
+            return jnp.sum(
+                B.brick_encode(x_, t_, meta, use_pallas, coherent) ** 2)
 
         l, (dt_, dx_) = jax.value_and_grad(loss, argnums=(0, 1))(tt, xx)
         return l + jnp.sum(dt_[0]) * 1e-30 + jnp.sum(dx_[0]) * 1e-30
@@ -140,17 +179,19 @@ def main():
         dt = (t_hi - t_lo) / (n_hi - 1)
         return n_pts / dt / 1e9
 
-    import sys
-
     detail = {}
-    for name, run, coh, xx in [("fwd_random_gs", fwd, False, x_rand),
-                               ("fwd_ray_gs", fwd, True, x_ray),
-                               ("fwdbwd_random_gs", fwdbwd, False, x_rand),
-                               ("fwdbwd_ray_gs", fwdbwd, True, x_ray),
-                               ("fwdbwd_frozen_x_gs", fwdbwd_frozen, False,
-                                x_rand),
-                               ("nablas_2nd_order_gs", nablas_fwdbwd, False,
-                                x_rand)]:
+    workloads = [("fwd_random_gs", fwd, False, x_rand),
+                 ("fwd_ray_gs", fwd, True, x_ray),
+                 ("fwdbwd_random_gs", fwdbwd, False, x_rand),
+                 ("fwdbwd_ray_gs", fwdbwd, True, x_ray),
+                 ("fwdbwd_frozen_x_gs", fwdbwd_frozen, False, x_rand),
+                 ("nablas_2nd_order_gs", nablas_fwdbwd, False, x_rand)]
+    if cpu_fallback:
+        # frozen/nablas are Pallas-kernel paths; keep only the XLA-safe two
+        detail["platform"] = "cpu_fallback_tunnel_dead"
+        detail["n_pts"] = n_pts
+        workloads = workloads[:1] + workloads[2:3]
+    for name, run, coh, xx in workloads:
         try:
             detail[name] = round(measure(run, coh, xx), 4)
         except Exception as e:
@@ -354,7 +395,7 @@ def main():
         print(f"# render bench skipped: {e}", file=sys.stderr, flush=True)
 
     baseline = 2.9  # GSamples/s (reference CUDA, 3.6M pts, fwd, random)
-    headline = detail["fwd_random_gs"]
+    headline = detail.get("fwd_random_gs", 0.0)
     print(json.dumps({
         "metric": "lotd_fwd_throughput_8lvl_dense_hash_3.6Mpts",
         "value": headline,

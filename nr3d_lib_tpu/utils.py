@@ -29,6 +29,8 @@ __all__ = [
     "timeit_jax",
     "img_to_uint8",
     "load_rgb",
+    "save_image",
+    "save_video",
     "downscale_img",
     "chunked",
 ]
@@ -213,6 +215,41 @@ def downscale_img(img: np.ndarray, factor: float) -> np.ndarray:
     h2, w2 = h // f * f, w // f * f
     img = img[:h2, :w2]
     return img.reshape(h2 // f, f, w2 // f, f, -1).mean(axis=(1, 3)).squeeze()
+
+
+def save_image(path: str, img) -> None:
+    """Save float [0,1] or uint8 image (reference: utils.py image IO)."""
+    arr = img_to_uint8(img)
+    try:
+        from PIL import Image
+
+        Image.fromarray(arr).save(path)
+    except ImportError:
+        import matplotlib.pyplot as plt
+
+        plt.imsave(path, arr)
+
+
+def save_video(path: str, frames: Sequence, fps: int = 24) -> str:
+    """Write frames ([T,H,W,3] float [0,1] or uint8) to a video file
+    (reference: utils.py save_video). Falls back to a PNG sequence
+    directory when no video writer (imageio/ffmpeg) is available; returns
+    the path actually written.
+    """
+    frames_u8 = [img_to_uint8(f) for f in frames]
+    try:
+        import imageio.v2 as imageio
+
+        imageio.mimwrite(path, frames_u8, fps=fps)
+        return path
+    except Exception:
+        import os
+
+        root = os.path.splitext(path)[0] + "_frames"
+        cond_mkdir(root)
+        for i, f in enumerate(frames_u8):
+            save_image(os.path.join(root, f"{i:05d}.png"), f)
+        return root
 
 
 def chunked(total: int, chunk: int):
