@@ -216,7 +216,10 @@ def neus_ray_query_batched(model, space, ray_tested: Dict, z: Array,
         rgb = out["rgb"].reshape(r, s, 3)
         rendered["rgb_volume"] = jnp.where(
             ray_mask[:, None], jnp.sum(vw[..., None] * rgb, -2), 0.0)
-    return rendered, {"t": t, "alpha": alpha, "vw": vw}
+    vb = {"t": t, "alpha": alpha, "vw": vw}
+    if out.get("nablas") is not None:   # eikonal training (batched mixin)
+        vb["nablas"] = out["nablas"].reshape(r, s, 3)
+    return rendered, vb
 
 
 def neus_ray_query_batched_dynamic(model, space, ray_tested: Dict, z: Array,

@@ -101,6 +101,10 @@ def test_generative_permuto_neus_model_batched():
     rt["bidx"] = bidx
     rendered, vb = m.ray_query(rt, key=jax.random.key(0))
     assert np.isfinite(np.asarray(rendered["rgb_volume"])).all()
+    # the batched query must expose nablas for eikonal training
+    # (reference fields_conditional/neus/renderer_mixin.py)
+    assert vb.get("nablas") is not None \
+        and np.isfinite(np.asarray(vb["nablas"])).all()
     losses = _smoke_train(m, {"bidx": bidx})
     # instance latents receive gradient (autodecoder training)
     graphdef, params, _ = nnx.split(m, nnx.Param, ...)
