@@ -50,7 +50,10 @@ def pipeline_apply(stage_fn: Callable[[Array, Array], Array],
     first stage feeds itself microbatch t; the last stage's outputs are
     collected. M must be ≥ 1; S+M−1 ticks total.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     n_stages = mesh.shape[stage_axis]

@@ -86,7 +86,10 @@ def brick_encode_table_sharded(x: Array, table_sharded: Array,
                    slices it. Already-sharded arrays work via jit donation.
     Returns [N, 2L] sharded like x. Differentiable in both args.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     x_spec = P(data_axis) if data_axis else P()

@@ -208,3 +208,74 @@ def _seq_apply(ws, xs):
     for s in range(ws.shape[0]):
         h = jnp.tanh(h @ ws[s])
     return h
+
+
+def test_forest_block_sharded_encode_and_train_step():
+    """Explicit shard_map forest placement (parallel/forest_parallel.py):
+    per-block params live on the owning device, one psum over the block
+    axis reconstructs features exactly; a 2D DP×block-MP train step
+    matches the single-device step and keeps block params/grads sharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nr3d_lib_tpu.ops import lotd as L
+    from nr3d_lib_tpu.parallel import make_mesh
+    from nr3d_lib_tpu.parallel.forest_parallel import (
+        forest_encode_block_sharded, make_forest_sharded_train_step,
+        pad_blocks_for_sharding)
+
+    mesh = make_mesh([2, 4], ("data", "block"))
+    meta = L.generate_meta(3, [4, 6], 2, "Dense")
+    n_blocks = 7                               # deliberately not divisible
+    params_b = 0.1 * jax.random.normal(jax.random.key(0),
+                                       (n_blocks, meta.n_params))
+    params_b = pad_blocks_for_sharding(params_b, 4)
+    assert params_b.shape[0] == 8
+    x = jax.random.uniform(jax.random.key(1), (64, 3))
+    bidx = jax.random.randint(jax.random.key(2), (64,), -1, n_blocks)
+
+    ref = L.lotd_encode(x, params_b, meta, bidx=bidx)
+    p_sh = jax.device_put(params_b, NamedSharding(mesh, P("block", None)))
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    b_sh = jax.device_put(bidx, NamedSharding(mesh, P("data")))
+    out = forest_encode_block_sharded(x_sh, b_sh, p_sh, meta, mesh,
+                                      data_axis="data")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    # ---- one DP×MP train step vs single-device reference
+    w = 0.01 * jax.random.normal(jax.random.key(3), (meta.n_encoded_dims
+                                 if hasattr(meta, "n_encoded_dims")
+                                 else ref.shape[-1], 1))
+    tgt = jax.random.normal(jax.random.key(4), (64, 1))
+    opt = optax.sgd(0.5)
+
+    def loss_fn(other, feats, batch):
+        return jnp.mean((feats @ other - batch["tgt"]) ** 2)
+
+    params0 = {"blocks": params_b, "other": w}
+
+    def single_loss(p):
+        feats = L.lotd_encode(x, p["blocks"], meta, bidx=bidx)
+        return loss_fn(p["other"], feats, {"tgt": tgt})
+
+    g_ref = jax.grad(single_loss)(params0)
+    upd_ref, _ = opt.update(g_ref, opt.init(params0), params0)
+    p_ref = optax.apply_updates(params0, upd_ref)
+
+    step = make_forest_sharded_train_step(loss_fn, opt, meta, mesh)
+    params_sh = {"blocks": p_sh,
+                 "other": jax.device_put(w, NamedSharding(mesh, P()))}
+    batch = {"x": x_sh, "bidx": b_sh,
+             "tgt": jax.device_put(tgt, NamedSharding(mesh, P("data", None)))}
+    p1, _, loss1 = step(params_sh, opt.init(params_sh), batch, None)
+    np.testing.assert_allclose(float(loss1), float(single_loss(params0)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1["blocks"]),
+                               np.asarray(p_ref["blocks"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1["other"]),
+                               np.asarray(p_ref["other"]),
+                               rtol=1e-4, atol=1e-6)
+    # block params must STAY sharded over the block axis after the step
+    spec = p1["blocks"].sharding.spec
+    assert spec and spec[0] == "block", f"blocks lost sharding: {spec}"
