@@ -38,7 +38,12 @@ class NeuralRenderer:
         self.uv = pixel_grid(self.h, self.w).reshape(-1, 2)
         self.ray_chunk = ray_chunk
 
-    def render(self, c2w, key=None, with_rgb: bool = True) -> Dict[str, np.ndarray]:
+    def render(self, c2w, key=None, with_rgb: bool = True,
+               ray_extras: Optional[Dict[str, float]] = None
+               ) -> Dict[str, np.ndarray]:
+        """ray_extras: scalar per-frame conditions broadcast to every ray —
+        e.g. {"ts": 0.3} for dynamic models, {"bidx": 2} for batched/
+        conditional ones (keys ending in "idx" broadcast as int32)."""
         from nr3d_lib_tpu.graphics.cameras import pinhole_get_rays
 
         o, d = pinhole_get_rays(self.uv, self.intr, jnp.asarray(c2w))
@@ -46,6 +51,10 @@ class NeuralRenderer:
         for s in range(0, o.shape[0], self.ray_chunk):
             rt = self.model.ray_test(o[s:s + self.ray_chunk],
                                      d[s:s + self.ray_chunk])
+            n = rt["rays_o"].shape[0]
+            for name, val in (ray_extras or {}).items():
+                dt = jnp.int32 if name.endswith("idx") else jnp.float32
+                rt[name] = jnp.full((n,), val, dt)
             rendered, _ = self.model.ray_query(rt, key=key, with_rgb=with_rgb)
             for k, v in rendered.items():
                 outs.setdefault(k, []).append(np.asarray(v))

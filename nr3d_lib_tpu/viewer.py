@@ -18,6 +18,12 @@ Usage::
     ...
     v.stop()
 
+Dynamic / conditional scenes: pass `controls` to get scene-condition
+sliders (time, instance index) whose values broadcast to every ray::
+
+    InteractiveViewer(emernerf_model, controls={
+        "ts": {"min": -1, "max": 1, "step": 0.05, "value": 0.0}})
+
 Scene datalayers (occ grids, forest blocks, camera frusta) remain
 exportable as PLY linesets via `gui_datalayers.save_linesets_ply`.
 """
@@ -44,20 +50,33 @@ _PAGE = """<!doctype html>
  select,button{background:#22222c;color:#cfcfe0;border:1px solid #444}
 </style></head><body>
 <div id="bar">layer <select id="layer"></select>
- <span id="stat"></span></div>
+ <span id="ctrls"></span> <span id="stat"></span></div>
 <img id="view" width=512 height=512>
 <script>
 let th=0.6, ph=0.35, r=3.0, busy=false, dirty=true;
 const img=document.getElementById('view'), sel=document.getElementById('layer');
-const stat=document.getElementById('stat');
+const stat=document.getElementById('stat'), ctrls={};
 fetch('layers').then(r=>r.json()).then(ls=>{
   for(const l of ls){const o=document.createElement('option');
     o.value=o.textContent=l; sel.appendChild(o);}
   sel.onchange=()=>{dirty=true;};});
+fetch('controls').then(r=>r.json()).then(cs=>{
+  const bar=document.getElementById('ctrls');
+  for(const [name,c] of Object.entries(cs)){
+    ctrls[name]=c.value;
+    const lab=document.createElement('label');
+    lab.textContent=` ${name} `;
+    const s=document.createElement('input');
+    s.type='range'; s.min=c.min; s.max=c.max; s.step=c.step; s.value=c.value;
+    const v=document.createElement('span'); v.textContent=c.value;
+    s.oninput=()=>{ctrls[name]=parseFloat(s.value);
+                   v.textContent=s.value; dirty=true;};
+    bar.appendChild(lab); bar.appendChild(s); bar.appendChild(v);}});
 function tick(){
   if(dirty && !busy){
     busy=true; dirty=false; const t0=performance.now();
-    const u=`render?theta=${th}&phi=${ph}&radius=${r}&layer=${sel.value||''}`;
+    let u=`render?theta=${th}&phi=${ph}&radius=${r}&layer=${sel.value||''}`;
+    for(const [k,v] of Object.entries(ctrls)) u+=`&c_${k}=${v}`;
     fetch(u).then(r=>r.blob()).then(b=>{
       img.src=URL.createObjectURL(b); busy=false;
       stat.textContent=`${(performance.now()-t0).toFixed(0)} ms`;
@@ -114,7 +133,13 @@ class InteractiveViewer:
 
     def __init__(self, model, hw: Tuple[int, int] = (256, 256),
                  host: str = "0.0.0.0", port: int = 0,
-                 center=(0.0, 0.0, 0.0), key=None):
+                 center=(0.0, 0.0, 0.0), key=None,
+                 controls: Optional[Dict[str, Dict]] = None):
+        """controls: per-frame scene conditions shown as sliders, e.g.
+        {"ts": {"min": -1, "max": 1, "step": 0.05, "value": 0.0}} for a
+        dynamic model or {"bidx": {"min": 0, "max": 3, "step": 1,
+        "value": 0}} for a batched/conditional one. Values are broadcast
+        to every ray of the frame (gui.NeuralRenderer ray_extras)."""
         from nr3d_lib_tpu.gui import NeuralRenderer
 
         self._renderer = NeuralRenderer(model, hw)
@@ -125,9 +150,16 @@ class InteractiveViewer:
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
         self._layers: Optional[Tuple[str, ...]] = None
+        self._controls = {
+            name: {"min": float(c.get("min", 0.0)),
+                   "max": float(c.get("max", 1.0)),
+                   "step": float(c.get("step", 0.01)),
+                   "value": float(c.get("value", 0.0))}
+            for name, c in (controls or {}).items()}
 
     # ----------------------------------------------------------- rendering
-    def _render(self, theta: float, phi: float, radius: float
+    def _render(self, theta: float, phi: float, radius: float,
+                extras: Optional[Dict[str, float]] = None
                 ) -> Dict[str, np.ndarray]:
         import jax.numpy as jnp
 
@@ -137,8 +169,11 @@ class InteractiveViewer:
             [np.cos(theta) * np.cos(phi), np.sin(phi),
              np.sin(theta) * np.cos(phi)], np.float32)
         c2w = look_at(jnp.asarray(eye), jnp.asarray(self._center))
+        vals = {n: c["value"] for n, c in self._controls.items()}
+        vals.update(extras or {})
         with self._lock:
-            return self._renderer.render(c2w, key=self._key)
+            return self._renderer.render(c2w, key=self._key,
+                                         ray_extras=vals or None)
 
     def layers(self) -> Tuple[str, ...]:
         if self._layers is None:
@@ -151,8 +186,9 @@ class InteractiveViewer:
         return self._layers
 
     def frame_png(self, theta: float, phi: float, radius: float,
-                  layer: str = "") -> bytes:
-        images = self._render(theta, phi, radius)
+                  layer: str = "",
+                  extras: Optional[Dict[str, float]] = None) -> bytes:
+        images = self._render(theta, phi, radius, extras)
         names = self.layers()
         if layer not in images:
             layer = names[0]
@@ -181,15 +217,22 @@ class InteractiveViewer:
                     elif u.path == "/layers":
                         self._reply(200, "application/json",
                                     json.dumps(list(viewer.layers())).encode())
+                    elif u.path == "/controls":
+                        self._reply(200, "application/json",
+                                    json.dumps(viewer._controls).encode())
                     elif u.path == "/render":
                         q = parse_qs(u.query)
 
                         def f(name, default):
                             return float(q.get(name, [default])[0])
 
+                        extras = {k[2:]: float(v[0]) for k, v in q.items()
+                                  if k.startswith("c_")
+                                  and k[2:] in viewer._controls}
                         png = viewer.frame_png(
                             f("theta", 0.6), f("phi", 0.35),
-                            f("radius", 3.0), q.get("layer", [""])[0])
+                            f("radius", 3.0), q.get("layer", [""])[0],
+                            extras)
                         self._reply(200, "image/png", png)
                     else:
                         self._reply(404, "text/plain", b"not found")

@@ -61,3 +61,37 @@ def test_layer_conversion():
     assert depth.min() == 0 and depth.max() == 255     # normalized
     normals = _to_uint8_layer(np.full((4, 4, 3), -1.0, np.float32))
     assert (normals == 0).all()                        # [-1,1] remapped
+
+
+def test_viewer_controls_dynamic_model():
+    """Scene-condition sliders (ts for a dynamic model): the /controls
+    route lists them, and /render forwards c_<name> query params as
+    per-ray conditions (gui.NeuralRenderer ray_extras)."""
+    import jax.numpy as jnp
+
+    from nr3d_lib_tpu.models.model_families import EmerNeRFModel
+    from nr3d_lib_tpu.viewer import InteractiveViewer
+
+    m = EmerNeRFModel(
+        field_cfg={"static_cfg": {"lotd_cfg": {
+            "lod_res": [8], "lod_n_feats": 2, "lod_types": "Dense"}},
+            "dynamic_permuto_cfg": {"res_list": [4.0, 8.0], "n_feats": 2,
+                                    "log2_hashmap_size": 10}},
+        accel_cfg={"resolution": (8, 8, 8)}, n_time_keys=4,
+        n_march_steps=16)
+    m.populate()
+    v = InteractiveViewer(
+        m, hw=(16, 16), host="127.0.0.1",
+        controls={"ts": {"min": -1, "max": 1, "step": 0.1, "value": 0.0}})
+    url = v.start()
+    try:
+        ctrls = json.loads(
+            urllib.request.urlopen(url + "/controls", timeout=60).read())
+        assert "ts" in ctrls and ctrls["ts"]["max"] == 1.0
+
+        r = urllib.request.urlopen(
+            url + "/render?theta=0.7&phi=0.2&radius=3&c_ts=0.5",
+            timeout=600)
+        assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        v.stop()
