@@ -279,3 +279,39 @@ def test_forest_block_sharded_encode_and_train_step():
     # block params must STAY sharded over the block axis after the step
     spec = p1["blocks"].sharding.spec
     assert spec and spec[0] == "block", f"blocks lost sharding: {spec}"
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """orbax-backed sharded save/restore (checkpoint_sharded.py): shards
+    land back on the requested sharding without a host gather, including
+    restoring onto a DIFFERENT layout than the save used."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nr3d_lib_tpu.checkpoint_sharded import (abstract_like, load_sharded,
+                                                 save_sharded)
+    from nr3d_lib_tpu.parallel import make_mesh
+
+    mesh = make_mesh([2, 4], ("data", "block"))
+    blocks = jax.device_put(
+        jax.random.normal(jax.random.key(0), (8, 32)),
+        NamedSharding(mesh, P("block", None)))
+    mlp = jax.device_put(jax.random.normal(jax.random.key(1), (16, 4)),
+                         NamedSharding(mesh, P()))
+    state = {"blocks": blocks, "mlp": mlp}
+    path = save_sharded(str(tmp_path / "step_10"), state)
+
+    # same-layout restore
+    back = load_sharded(path, state)
+    np.testing.assert_array_equal(np.asarray(back["blocks"]),
+                                  np.asarray(blocks))
+    assert back["blocks"].sharding.spec == P("block", None)
+
+    # reshard on load: blocks now over the data axis
+    tmpl = {"blocks": jax.ShapeDtypeStruct(
+        blocks.shape, blocks.dtype,
+        sharding=NamedSharding(mesh, P("data", None))),
+        "mlp": abstract_like(mlp)}
+    re = load_sharded(path, tmpl)
+    np.testing.assert_array_equal(np.asarray(re["blocks"]),
+                                  np.asarray(blocks))
+    assert re["blocks"].sharding.spec == P("data", None)
