@@ -192,38 +192,47 @@ def main():
         detail["n_pts"] = n_pts
         workloads = workloads[:1] + workloads[2:3]
     for name, run, coh, xx in workloads:
+        # never lose the headline JSON to one workload: retry once with
+        # the Mosaic-unvalidated MXU gather off, then record the error
         try:
             detail[name] = round(measure(run, coh, xx), 4)
         except Exception as e:
-            # the one-hot MXU gather is Mosaic-unvalidated (tunnel outage):
-            # never lose the headline to it — retry with the scalar path
-            if not B._MXU_DENSE:
-                raise
-            print(f"# {name} failed with MXU gather on ({e!r}); "
-                  f"retrying with _MXU_DENSE=False", file=sys.stderr,
-                  flush=True)
-            B._MXU_DENSE = False
-            detail["mxu_gather_disabled"] = True
-            detail[name] = round(measure(run, coh, xx), 4)
+            if B._MXU_DENSE:
+                print(f"# {name} failed with MXU gather on ({e!r}); "
+                      f"retrying with _MXU_DENSE=False", file=sys.stderr,
+                      flush=True)
+                B._MXU_DENSE = False
+                detail["mxu_gather_disabled"] = True
+                try:
+                    detail[name] = round(measure(run, coh, xx), 4)
+                except Exception as e2:
+                    e = e2
+            if name not in detail:
+                print(f"# {name} FAILED: {e!r}", file=sys.stderr, flush=True)
+                detail[name + "_error"] = repr(e)[:300]
+                continue
         print(f"# {name} = {detail[name]}", file=sys.stderr, flush=True)
-    # roofline context (VERDICT #9): attribute the rate to the binding
-    # resource. The forward is gather-ISSUE-bound: 8 row-gathers/pt, each a
-    # scalar-issued (1,128) load+store pair, at the ~0.94G issues/s scalar
-    # ceiling → 0.117 GS/s. Also report the achieved gather bandwidth vs
-    # v5e HBM (~820 GB/s) to show bandwidth is NOT the wall.
-    detail["issue_rate_ceiling_random_gs"] = 0.117
-    detail["pct_of_issue_ceiling_random"] = round(
-        100 * detail["fwd_random_gs"] / 0.117, 1)
-    row_bytes = 128 * 4
-    detail["fwd_gather_gbytes_per_s"] = round(
-        detail["fwd_random_gs"] * 1e9 * 8 * row_bytes / 1e9, 1)
-    detail["pct_of_hbm_bw"] = round(
-        100 * detail["fwd_gather_gbytes_per_s"] / 820.0, 1)
-    # MXU side: the per-level reduction matmul is [N,128]@[128,2L] → tiny
-    # (≈0.2% of v5e's 197 bf16 TFLOP/s at the ceiling) — the op cannot be
-    # made MXU-bound; scalar issue is the speed-of-light axis.
-    detail["reduce_matmul_tflops"] = round(
-        detail["fwd_random_gs"] * 1e9 * 2 * 128 * 16 / 1e12, 3)
+    if not cpu_fallback and "fwd_random_gs" in detail:
+        # roofline context (VERDICT #9), TPU only: attribute the rate to
+        # the binding resource. The forward is gather-ISSUE-bound: 8
+        # row-gathers/pt, each a scalar-issued (1,128) load+store pair, at
+        # the ~0.94G issues/s scalar ceiling → 0.117 GS/s. Also report the
+        # achieved gather bandwidth vs v5e HBM (~820 GB/s) to show
+        # bandwidth is NOT the wall.
+        detail["issue_rate_ceiling_random_gs"] = 0.117
+        detail["pct_of_issue_ceiling_random"] = round(
+            100 * detail["fwd_random_gs"] / 0.117, 1)
+        row_bytes = 128 * 4
+        detail["fwd_gather_gbytes_per_s"] = round(
+            detail["fwd_random_gs"] * 1e9 * 8 * row_bytes / 1e9, 1)
+        detail["pct_of_hbm_bw"] = round(
+            100 * detail["fwd_gather_gbytes_per_s"] / 820.0, 1)
+        # MXU side: the per-level reduction matmul is [N,128]@[128,2L] →
+        # tiny (≈0.2% of v5e's 197 bf16 TFLOP/s at the ceiling) — the op
+        # cannot be made MXU-bound; scalar issue is the speed-of-light
+        # axis.
+        detail["reduce_matmul_tflops"] = round(
+            detail["fwd_random_gs"] * 1e9 * 2 * 128 * 16 / 1e12, 3)
 
     # bf16-packed F=4 variant (ops/lotd_brick4.py): 4 levels × 4 feats =
     # the same 16 output features as the 8×2 headline at HALF the scalar

@@ -148,7 +148,8 @@ def main():
     print(f"trained {args.iters} iters in {time.time() - t0:.1f}s")
 
     # ------------------------------------------------- eval + decomposition
-    nnx.update(model, params)
+    # restore trained params AND the occ-grid state evolved in `rest`
+    nnx.update(model, params, rest)
     o, d, ts = sample_rays(2048, jax.random.key(123))
     rt = model.ray_test(o, d)
     rt["ts"] = ts

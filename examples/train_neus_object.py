@@ -151,7 +151,9 @@ def main():
     print(f"trained {args.iters} iters in {time.time() - t0:.1f}s")
 
     # -------------------------------------------------------- evaluation
-    nnx.update(model, params)
+    # restore BOTH trained params and the non-Param state (the occupancy
+    # grid evolved inside the merged training copies via `rest`)
+    nnx.update(model, params, rest)
     o, d = sample_rays(2048, jax.random.key(123))
     rendered, _ = model.ray_query(model.ray_test(o, d))
     val_psnr = float(psnr(rendered["rgb_volume"], trace_gt(o, d)))
@@ -170,7 +172,6 @@ def main():
     if len(verts):
         # ground-truth surface samples from traced hits
         og, dg = sample_rays(4096, jax.random.key(77))
-        rgbg = trace_gt(og, dg)
         tg = jnp.full((4096,), 1.0)
         for _ in range(96):
             tg = tg + sdf_gt(og + tg[:, None] * dg)
@@ -185,7 +186,6 @@ def main():
         logger.add("val", "chamfer", cham, args.iters)
         save_ply(os.path.join(args.out, "verts.ply"), np.asarray(vsub),
                  colors=np.clip(np.asarray(vsub) * 0.5 + 0.5, 0, 1))
-        del rgbg
 
     frames = render_turntable(model, n_frames=8, radius=2.5, hw=(128, 128),
                               out_dir=os.path.join(args.out, "turntable"))

@@ -5,8 +5,8 @@
 LOG=${1:-/tmp/tpu_probe.log}
 while true; do
   ts=$(date -u +%H:%M:%S)
-  out=$(timeout 240 python -c "import jax; d=jax.devices(); print('ALIVE', d)" 2>&1 | tail -1)
-  echo "$ts $out" >> "$LOG"
+  out=$(timeout 240 python -c "import jax; d=jax.devices(); print('ALIVE', d)" 2>&1 | grep -o 'ALIVE.*' | tail -1)
+  echo "$ts ${out:-probe dead/hung}" >> "$LOG"
   case "$out" in
     ALIVE*) echo "$ts TPU BACK" >> "$LOG"; exit 0;;
   esac

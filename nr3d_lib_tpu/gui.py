@@ -85,10 +85,9 @@ def render_turntable(model, *, n_frames: int = 12, radius: float = 3.0,
 
         for i, f in enumerate(frames):
             _write_png(os.path.join(out_dir, f"frame_{i:04d}.png"), f)
-        try:
-            import imageio
+        # save_video falls back to a PNG sequence dir when no imageio/ffmpeg
+        # (the per-frame PNGs above are already the canonical output)
+        from nr3d_lib_tpu.utils import save_video
 
-            imageio.mimsave(os.path.join(out_dir, "turntable.mp4"), frames, fps=10)
-        except Exception:
-            pass  # no video backend (ffmpeg/pyav) — the PNGs are the output
+        save_video(os.path.join(out_dir, "turntable.mp4"), frames, fps=10)
     return frames

@@ -129,11 +129,6 @@ class Logger:
 
 
 def _write_png(path: str, img: np.ndarray):
-    try:
-        from PIL import Image
+    from nr3d_lib_tpu.utils import save_image
 
-        Image.fromarray(img).save(path)
-    except ImportError:
-        import matplotlib.pyplot as plt
-
-        plt.imsave(path, img)
+    save_image(path, img)

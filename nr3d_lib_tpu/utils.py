@@ -236,6 +236,8 @@ def save_video(path: str, frames: Sequence, fps: int = 24) -> str:
     directory when no video writer (imageio/ffmpeg) is available; returns
     the path actually written.
     """
+    import os
+
     frames_u8 = [img_to_uint8(f) for f in frames]
     try:
         import imageio.v2 as imageio
@@ -243,8 +245,8 @@ def save_video(path: str, frames: Sequence, fps: int = 24) -> str:
         imageio.mimwrite(path, frames_u8, fps=fps)
         return path
     except Exception:
-        import os
-
+        if os.path.exists(path):   # don't leave a truncated video behind
+            os.remove(path)
         root = os.path.splitext(path)[0] + "_frames"
         cond_mkdir(root)
         for i, f in enumerate(frames_u8):
