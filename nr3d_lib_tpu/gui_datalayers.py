@@ -108,3 +108,37 @@ def save_linesets_ply(path: str, layers: Sequence[Lineset]):
                     f"{c[0]} {c[1]} {c[2]}\n")
         for a, b in segs:
             f.write(f"{a} {b}\n")
+
+
+def project_datalayer(layer: Lineset, intr, c2w,
+                      hw) -> "tuple[np.ndarray, np.ndarray]":
+    """Project a line-set layer into pixel space: returns (p0, p1) [S,2]
+    segment endpoints; segments with an endpoint behind the camera are
+    culled (the reference GL canvas clips; sampling-paint overlays can't).
+    """
+    intr = np.asarray(intr, np.float32)
+    c2w = np.asarray(c2w, np.float32)
+    R, t = c2w[:3, :3], c2w[:3, 3]
+    pts_cam = (np.asarray(layer["points"], np.float32) - t) @ R  # w2c
+    z = pts_cam[:, 2]
+    uv = pts_cam[:, :2] / np.maximum(z[:, None], 1e-9)
+    pix = uv @ intr[:2, :2].T + intr[:2, 2]
+    e = np.asarray(layer["edges"], np.int64)
+    ok = (z[e[:, 0]] > 1e-3) & (z[e[:, 1]] > 1e-3)
+    e = e[ok]
+    return pix[e[:, 0]], pix[e[:, 1]]
+
+
+def draw_datalayers(img: np.ndarray, layers: Sequence[Lineset], intr, c2w
+                    ) -> np.ndarray:
+    """Paint projected line-set layers over a rendered uint8 frame (the
+    offline/HTTP equivalent of the reference viewer's debug overlays)."""
+    from nr3d_lib_tpu.plot.plot_basic import draw_segments_2d
+
+    hw = img.shape[:2]
+    for layer in layers:
+        p0, p1 = project_datalayer(layer, intr, c2w, hw)
+        color = (np.clip(np.asarray(layer.get("color", (0, 1, 0))), 0, 1)
+                 * 255).astype(np.uint8)
+        img = draw_segments_2d(img, p0, p1, color=tuple(int(c) for c in color))
+    return img

@@ -4,9 +4,11 @@ from nr3d_lib_tpu.plot.plot_basic import (  # noqa: F401
     color_depth,
     color_error_map,
     colorize_normals,
+    draw_segments_2d,
     figure_to_image,
     gallery,
     overlay_mask,
+    sdf_slice_image,
 )
 from nr3d_lib_tpu.plot.plot_3d import (  # noqa: F401
     camera_frustum_lines,

@@ -7,7 +7,8 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["figure_to_image", "color_depth", "gallery", "draw_2dbox",
-           "overlay_mask", "colorize_normals", "color_error_map"]
+           "overlay_mask", "colorize_normals", "color_error_map",
+           "sdf_slice_image", "draw_segments_2d"]
 
 
 def figure_to_image(fig, close: bool = True) -> np.ndarray:
@@ -99,3 +100,55 @@ def color_error_map(err: np.ndarray, scale: Optional[float] = None,
     normed = np.clip(err / (2.0 * scale) + 0.5, 0.0, 1.0)
     rgba = cm.get_cmap(cmap)(normed)
     return (rgba[..., :3] * 255).astype(np.uint8)
+
+
+def sdf_slice_image(query_sdf, axis: int = 2, coord: float = 0.0,
+                    resolution: int = 256, aabb_min=(-1.0, -1.0, -1.0),
+                    aabb_max=(1.0, 1.0, 1.0), scale: Optional[float] = None,
+                    band: float = 0.01) -> np.ndarray:
+    """Colorized planar slice of an SDF — the standard NeuS/SDF debug view
+    (reference plot/ sdf visualizations): diverging colors (inside blue /
+    outside red), zero level set drawn dark.
+
+    query_sdf: fn [N,3] → [N]; axis/coord pick the slicing plane.
+    Returns uint8 [resolution, resolution, 3].
+    """
+    aabb_min = np.asarray(aabb_min, np.float32)
+    aabb_max = np.asarray(aabb_max, np.float32)
+    ax_u, ax_v = [a for a in range(3) if a != axis]
+    u = np.linspace(aabb_min[ax_u], aabb_max[ax_u], resolution,
+                    dtype=np.float32)
+    v = np.linspace(aabb_min[ax_v], aabb_max[ax_v], resolution,
+                    dtype=np.float32)
+    uu, vv = np.meshgrid(u, v, indexing="xy")
+    pts = np.empty((resolution * resolution, 3), np.float32)
+    pts[:, ax_u] = uu.ravel()
+    pts[:, ax_v] = vv.ravel()
+    pts[:, axis] = coord
+    sdf = np.asarray(query_sdf(pts)).reshape(resolution, resolution)
+    img = color_error_map(sdf, scale=scale)
+    img = img.copy()
+    img[np.abs(sdf) < band] = (20, 20, 20)          # zero level set
+    return img
+
+
+def draw_segments_2d(img: np.ndarray, p0: np.ndarray, p1: np.ndarray,
+                     color=(0, 255, 0), n_samples: int = 64) -> np.ndarray:
+    """Rasterize 2D line segments into a uint8 image (sampled painting —
+    enough for debug overlays; not an antialiased renderer).
+
+    p0/p1: [S,2] pixel coords (x, y). Returns a painted copy."""
+    img = np.array(img, copy=True)
+    h, w = img.shape[:2]
+    p0 = np.asarray(p0, np.float32)
+    p1 = np.asarray(p1, np.float32)
+    if len(p0) == 0:
+        return img
+    t = np.linspace(0.0, 1.0, n_samples, dtype=np.float32)[None, :, None]
+    pts = p0[:, None, :] * (1 - t) + p1[:, None, :] * t     # [S, T, 2]
+    pix = np.round(pts.reshape(-1, 2)).astype(np.int64)
+    keep = ((pix[:, 0] >= 0) & (pix[:, 0] < w)
+            & (pix[:, 1] >= 0) & (pix[:, 1] < h))
+    pix = pix[keep]
+    img[pix[:, 1], pix[:, 0]] = np.asarray(color, img.dtype)
+    return img

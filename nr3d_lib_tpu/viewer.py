@@ -50,12 +50,14 @@ _PAGE = """<!doctype html>
  select,button{background:#22222c;color:#cfcfe0;border:1px solid #444}
 </style></head><body>
 <div id="bar">layer <select id="layer"></select>
+ <label><input type="checkbox" id="ov">overlay</label>
  <span id="ctrls"></span> <span id="stat"></span></div>
 <img id="view" width=512 height=512>
 <script>
 let th=0.6, ph=0.35, r=3.0, busy=false, dirty=true;
 const img=document.getElementById('view'), sel=document.getElementById('layer');
 const stat=document.getElementById('stat'), ctrls={};
+document.getElementById('ov').onchange=()=>{dirty=true;};
 fetch('layers').then(r=>r.json()).then(ls=>{
   for(const l of ls){const o=document.createElement('option');
     o.value=o.textContent=l; sel.appendChild(o);}
@@ -76,6 +78,7 @@ function tick(){
   if(dirty && !busy){
     busy=true; dirty=false; const t0=performance.now();
     let u=`render?theta=${th}&phi=${ph}&radius=${r}&layer=${sel.value||''}`;
+    u+=`&overlay=${document.getElementById('ov').checked?1:0}`;
     for(const [k,v] of Object.entries(ctrls)) u+=`&c_${k}=${v}`;
     fetch(u).then(r=>r.blob()).then(b=>{
       img.src=URL.createObjectURL(b); busy=false;
@@ -134,15 +137,21 @@ class InteractiveViewer:
     def __init__(self, model, hw: Tuple[int, int] = (256, 256),
                  host: str = "0.0.0.0", port: int = 0,
                  center=(0.0, 0.0, 0.0), key=None,
-                 controls: Optional[Dict[str, Dict]] = None):
+                 controls: Optional[Dict[str, Dict]] = None,
+                 overlays=None):
         """controls: per-frame scene conditions shown as sliders, e.g.
         {"ts": {"min": -1, "max": 1, "step": 0.05, "value": 0.0}} for a
         dynamic model or {"bidx": {"min": 0, "max": 3, "step": 1,
         "value": 0}} for a batched/conditional one. Values are broadcast
-        to every ray of the frame (gui.NeuralRenderer ray_extras)."""
+        to every ray of the frame (gui.NeuralRenderer ray_extras).
+
+        overlays: gui_datalayers line sets (occ grid, forest blocks,
+        frusta) painted over the frame when the UI's overlay box is
+        ticked — the reference viewer's debug datalayers."""
         from nr3d_lib_tpu.gui import NeuralRenderer
 
         self._renderer = NeuralRenderer(model, hw)
+        self._overlays = list(overlays or [])
         self._center = np.asarray(center, np.float32)
         self._key = key
         self._lock = threading.Lock()
@@ -158,9 +167,7 @@ class InteractiveViewer:
             for name, c in (controls or {}).items()}
 
     # ----------------------------------------------------------- rendering
-    def _render(self, theta: float, phi: float, radius: float,
-                extras: Optional[Dict[str, float]] = None
-                ) -> Dict[str, np.ndarray]:
+    def _camera(self, theta: float, phi: float, radius: float) -> np.ndarray:
         import jax.numpy as jnp
 
         from nr3d_lib_tpu.graphics.cameras import look_at
@@ -168,7 +175,13 @@ class InteractiveViewer:
         eye = self._center + radius * np.asarray(
             [np.cos(theta) * np.cos(phi), np.sin(phi),
              np.sin(theta) * np.cos(phi)], np.float32)
-        c2w = look_at(jnp.asarray(eye), jnp.asarray(self._center))
+        return np.asarray(look_at(jnp.asarray(eye),
+                                  jnp.asarray(self._center)))
+
+    def _render(self, theta: float, phi: float, radius: float,
+                extras: Optional[Dict[str, float]] = None
+                ) -> Dict[str, np.ndarray]:
+        c2w = self._camera(theta, phi, radius)
         vals = {n: c["value"] for n, c in self._controls.items()}
         vals.update(extras or {})
         with self._lock:
@@ -187,12 +200,20 @@ class InteractiveViewer:
 
     def frame_png(self, theta: float, phi: float, radius: float,
                   layer: str = "",
-                  extras: Optional[Dict[str, float]] = None) -> bytes:
+                  extras: Optional[Dict[str, float]] = None,
+                  overlay: bool = False) -> bytes:
         images = self._render(theta, phi, radius, extras)
         names = self.layers()
         if layer not in images:
             layer = names[0]
-        return _png_bytes(_to_uint8_layer(images[layer]))
+        img = _to_uint8_layer(images[layer])
+        if overlay and self._overlays:
+            from nr3d_lib_tpu.gui_datalayers import draw_datalayers
+
+            img = draw_datalayers(img, self._overlays,
+                                  np.asarray(self._renderer.intr),
+                                  self._camera(theta, phi, radius))
+        return _png_bytes(img)
 
     # ------------------------------------------------------------- server
     def start(self) -> str:
@@ -232,7 +253,8 @@ class InteractiveViewer:
                         png = viewer.frame_png(
                             f("theta", 0.6), f("phi", 0.35),
                             f("radius", 3.0), q.get("layer", [""])[0],
-                            extras)
+                            extras,
+                            overlay=q.get("overlay", ["0"])[0] == "1")
                         self._reply(200, "image/png", png)
                     else:
                         self._reply(404, "text/plain", b"not found")

@@ -82,3 +82,25 @@ def test_datalayers_and_ply_export(tmp_path):
     save_linesets_ply(path, [layer, cam, ab] + layers)
     txt = open(path).read()
     assert txt.startswith("ply") and "element edge" in txt
+
+
+def test_sdf_slice_and_segment_drawing():
+    """sdf_slice_image marks the zero level set; draw_segments_2d paints
+    in-bounds pixels and clips out-of-bounds ones."""
+    import numpy as np
+
+    from nr3d_lib_tpu.plot import draw_segments_2d, sdf_slice_image
+
+    sl = sdf_slice_image(lambda p: np.linalg.norm(p, axis=-1) - 0.5,
+                         resolution=64)
+    assert sl.shape == (64, 64, 3) and sl.dtype == np.uint8
+    dark = (sl.sum(-1) < 90)
+    assert 20 < dark.sum() < 500          # a ring, not empty/everything
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    out = draw_segments_2d(img, np.asarray([[2.0, 2.0], [100.0, -5.0]]),
+                           np.asarray([[29.0, 2.0], [120.0, -9.0]]),
+                           color=(255, 0, 0))
+    assert (out[2, 2:30, 0] == 255).all()          # horizontal line painted
+    assert out.sum() == int((out[..., 0] == 255).sum()) * 255  # red only
+    assert (img == 0).all()                         # input untouched

@@ -95,3 +95,27 @@ def test_viewer_controls_dynamic_model():
         assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
     finally:
         v.stop()
+
+
+def test_viewer_overlay_datalayer():
+    """Overlay painting: /render?overlay=1 projects the configured line
+    sets into the frame (pixels differ from the clean render)."""
+    import io
+
+    from nr3d_lib_tpu.gui_datalayers import aabb_datalayer
+    from nr3d_lib_tpu.viewer import InteractiveViewer
+
+    v = InteractiveViewer(_tiny_neus(), hw=(32, 32), host="127.0.0.1",
+                          overlays=[aabb_datalayer(((-1, -1, -1),
+                                                    (1, 1, 1)))])
+    url = v.start()
+    try:
+        base = url + "/render?theta=0.7&phi=0.2&radius=3"
+        clean = urllib.request.urlopen(base + "&overlay=0",
+                                       timeout=600).read()
+        over = urllib.request.urlopen(base + "&overlay=1",
+                                      timeout=600).read()
+        assert clean[:8] == over[:8] == b"\x89PNG\r\n\x1a\n"
+        assert clean != over, "overlay did not change the frame"
+    finally:
+        v.stop()
