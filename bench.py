@@ -362,6 +362,54 @@ def main():
     except Exception as e:
         print(f"# permuto4 bench skipped: {e}", file=sys.stderr, flush=True)
 
+    # 3DGS tiled rasterizer (reference r3dg_rasterization): 500k gaussians
+    # at 512² — the N11 scale point (VERDICT #7). Reported in Mpix/s.
+    try:
+        if over_budget("gaussians"):
+            raise TimeoutError
+        from nr3d_lib_tpu.graphics import gaussian_splatting as GS
+
+        ng, hw_g = 500_000, (512, 512)
+        kg = jax.random.split(jax.random.key(21), 5)
+        means = jax.random.uniform(kg[0], (ng, 3), jnp.float32, -1.0, 1.0)
+        scales = jax.random.uniform(kg[1], (ng, 3), jnp.float32, 0.002, 0.02)
+        quats = jax.random.normal(kg[2], (ng, 4), jnp.float32)
+        quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+        opac = jax.random.uniform(kg[3], (ng, 1), jnp.float32, 0.3, 0.9)
+        cols = jax.random.uniform(kg[4], (ng, 3), jnp.float32)
+        w2c = jnp.eye(4).at[2, 3].set(3.0)
+        intr_g = jnp.asarray([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]])
+
+        def gs_run(mm):
+            return GS.rasterize_gaussians_tiled(
+                mm, scales, quats, opac, cols, w2c, intr_g, hw_g)["rgb"]
+
+        def gs_chain(n):
+            def chained(c, mm):
+                def body(i, carry):
+                    cc, acc = carry
+                    s = jnp.sum(gs_run(mm * (1.0 + cc * 1e-30)))
+                    return s * 1e-30, acc + s
+
+                return jax.lax.fori_loop(0, n, body, (c, 0.0))[1]
+
+            return jax.jit(chained)
+
+        lo, hi = gs_chain(1), gs_chain(4)
+        float(lo(0.0, means))
+        float(hi(0.0, means))
+        t_lo = min(_timed(lo, means) for _ in range(2))
+        t_hi = min(_timed(hi, means) for _ in range(2))
+        dt_g = (t_hi - t_lo) / 3
+        detail["gaussian_tiled_500k_512px_mpix_s"] = round(
+            hw_g[0] * hw_g[1] / dt_g / 1e6, 2)
+        detail["gaussian_tiled_500k_512px_fps"] = round(1.0 / dt_g, 2)
+        print(f"# gaussian_tiled_500k_512px_fps = "
+              f"{detail['gaussian_tiled_500k_512px_fps']}",
+              file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"# gaussian bench skipped: {e}", file=sys.stderr, flush=True)
+
     # end-to-end renderer throughput (the metric the renderer design
     # optimizes — occupancy compression cuts the NUMBER of gathers; see
     # docs/DESIGN.md §3 consequences). Round-1 march_occ+XLA: 50.4 Krays/s.
