@@ -99,7 +99,8 @@ def main():
         ray_query_cfg={"n_coarse": 32, "upsample_inv_s_factors": [1.0, 4.0],
                        "n_importance": 8})
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
-    opt = optax.adam(3e-3)
+    # grad clipping: NeuS spikes as inv_s sharpens (reference clips too)
+    opt = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(3e-3))
     opt_state = opt.init(params)
     logger = Logger(args.out, use_tensorboard=False)
     ckpt = CheckpointIO(os.path.join(args.out, "ckpts"))

@@ -114,7 +114,9 @@ def main():
     print(f"sphere pretrain loss: {pre:.2e}")
     model.populate()
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
-    opt = optax.adam(3e-3)
+    # clip like the reference's trainers do (training_clip_grad): as inv_s
+    # sharpens, occasional eikonal spikes otherwise blow the step
+    opt = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(3e-3))
     opt_state = opt.init(params)
     logger = Logger(args.out, use_tensorboard=False)
     ckpt = CheckpointIO(os.path.join(args.out, "ckpts"))
