@@ -38,6 +38,8 @@ def _run(script, *args, timeout=900):
      ("--iters", "3", "--rays", "128", "--hw", "24"), "interpolation"),
     ("train_forest_street.py",
      ("--iters", "3", "--rays", "128"), "trained"),
+    ("train_conditional_dynamic.py",
+     ("--iters", "3", "--rays", "128", "--hw", "24"), "grid"),
 ])
 def test_example_smoke(tmp_path, script, args, expect):
     out = _run(script, *args, "--out", str(tmp_path / "run"))
