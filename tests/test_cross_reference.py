@@ -139,3 +139,32 @@ def test_sh_encode_vs_scipy():
     # NGP's component signs differ from the Condon–Shortley real basis;
     # magnitudes must agree exactly
     np.testing.assert_allclose(np.abs(ours), np.abs(ref), atol=1e-5)
+
+
+def test_camera_distortion_vs_opencv():
+    """opencv_distort / fisheye_distort vs cv2 itself (projectPoints /
+    fisheye.distortPoints with K = I), plus undistort round trips."""
+    cv2 = pytest.importorskip("cv2")
+
+    from nr3d_lib_tpu.graphics.cameras import (fisheye_distort,
+                                               fisheye_undistort,
+                                               opencv_distort,
+                                               opencv_undistort)
+
+    xn = rng.uniform(-0.4, 0.4, (64, 2)).astype(np.float64)
+    dist = np.asarray([0.1, -0.05, 0.01, -0.005, 0.02])   # k1,k2,p1,p2,k3
+    ours = np.asarray(opencv_distort(jnp.asarray(xn), jnp.asarray(dist)))
+    obj = np.concatenate([xn, np.ones((64, 1))], -1)
+    ref, _ = cv2.projectPoints(obj, np.zeros(3), np.zeros(3), np.eye(3),
+                               dist)
+    np.testing.assert_allclose(ours, ref[:, 0, :], atol=1e-6)
+    back = np.asarray(opencv_undistort(jnp.asarray(ours), jnp.asarray(dist)))
+    np.testing.assert_allclose(back, xn, atol=1e-6)
+
+    distf = np.asarray([0.05, -0.01, 0.003, -0.001])
+    oursf = np.asarray(fisheye_distort(jnp.asarray(xn), jnp.asarray(distf)))
+    reff = cv2.fisheye.distortPoints(xn[None], np.eye(3), distf)
+    np.testing.assert_allclose(oursf, reff[0], atol=1e-6)
+    backf = np.asarray(fisheye_undistort(jnp.asarray(oursf),
+                                         jnp.asarray(distf)))
+    np.testing.assert_allclose(backf, xn, atol=1e-6)
