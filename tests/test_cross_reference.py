@@ -168,3 +168,37 @@ def test_camera_distortion_vs_opencv():
     backf = np.asarray(fisheye_undistort(jnp.asarray(oursf),
                                          jnp.asarray(distf)))
     np.testing.assert_allclose(backf, xn, atol=1e-6)
+
+
+def test_pack_ops_vs_torch_segment_reduce():
+    """packed_sum / packed_cumsum / packed_cumprod vs torch oracles
+    (index_add, and per-pack loops over torch.cumsum/cumprod)."""
+    import torch
+
+    from nr3d_lib_tpu.graphics.pack_ops import (packed_cumprod,
+                                                packed_cumsum, packed_sum)
+
+    n_packs = 17
+    counts = rng.integers(0, 9, n_packs)
+    ridx = np.repeat(np.arange(n_packs), counts).astype(np.int32)
+    feats = rng.standard_normal((len(ridx), 3)).astype(np.float32)
+
+    ours = np.asarray(packed_sum(jnp.asarray(feats), jnp.asarray(ridx),
+                                 n_packs))
+    ref = torch.zeros(n_packs, 3).index_add(
+        0, torch.from_numpy(ridx.astype(np.int64)),
+        torch.from_numpy(feats)).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    pos = (np.abs(feats[:, 0]) + 0.1).astype(np.float32)
+    cs = np.asarray(packed_cumsum(jnp.asarray(pos), jnp.asarray(ridx)))
+    cp = np.asarray(packed_cumprod(jnp.asarray(pos), jnp.asarray(ridx)))
+    t = torch.from_numpy(pos)
+    start = 0
+    for c in counts:
+        seg = slice(start, start + c)
+        np.testing.assert_allclose(cs[seg], torch.cumsum(t[seg], 0).numpy(),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(cp[seg], torch.cumprod(t[seg], 0).numpy(),
+                                   rtol=1e-5, atol=1e-6)
+        start += c
