@@ -37,13 +37,20 @@ def knn_points(x: Array, y: Array, k: int = 1, chunk: int = 8192
     """
     if x.ndim == 3:
         return jax.vmap(lambda a, b: knn_points(a, b, k, chunk))(x, y)
-    n = x.shape[0]
+    n, m = x.shape[0], y.shape[0]
+    # The MXU expansion ‖x‖²−2x·y+‖y‖² loses ~1e-5 to f32 cancellation, so
+    # it only SELECTS candidates (with a small safety margin); the returned
+    # distances are recomputed exactly from coordinate differences.
+    kc = min(k + 4, m)
     outs_d, outs_i = [], []
     for s in range(0, n, chunk):
-        d = _sq_dists(x[s:s + chunk], y)
-        neg_top, idx = jax.lax.top_k(-d, k)
+        xc = x[s:s + chunk]
+        d = _sq_dists(xc, y)
+        _, cand = jax.lax.top_k(-d, kc)
+        d_exact = jnp.sum((xc[:, None, :] - y[cand]) ** 2, -1)
+        neg_top, sel = jax.lax.top_k(-d_exact, k)
         outs_d.append(-neg_top)
-        outs_i.append(idx)
+        outs_i.append(jnp.take_along_axis(cand, sel, axis=-1))
     return jnp.concatenate(outs_d), jnp.concatenate(outs_i)
 
 
