@@ -29,23 +29,43 @@ def _sq_dists(x: Array, y: Array) -> Array:
     return jnp.maximum(xx - 2 * xy + yy.T, 0.0)
 
 
-def knn_points(x: Array, y: Array, k: int = 1, chunk: int = 8192
+def knn_points(x: Array, y: Array, k: int = 1, chunk: int = 8192,
+               candidate_margin: Optional[int] = None
                ) -> Tuple[Array, Array]:
     """For each x, the K nearest in y → (sq_dists [N,K], idx [N,K]).
 
     Batched ([B,N,D]) or flat ([N,D]). Reference: knn_points_idx.
+
+    Selection is approximate-then-exact: the MXU expansion picks
+    `k + candidate_margin` candidates, exact coordinate-difference
+    distances rank them. The expansion's f32 cancellation error scales
+    with ‖x‖·‖y‖, so both clouds are shifted by a shared centroid first
+    (distance-preserving) to keep coordinate magnitudes small; the margin
+    (default `max(4, k)`) then covers near-tie misrankings. Raise
+    `candidate_margin` for pathologically dense near-tie clouds.
     """
     if x.ndim == 3:
-        return jax.vmap(lambda a, b: knn_points(a, b, k, chunk))(x, y)
+        return jax.vmap(
+            lambda a, b: knn_points(a, b, k, chunk, candidate_margin))(x, y)
     n, m = x.shape[0], y.shape[0]
-    # The MXU expansion ‖x‖²−2x·y+‖y‖² loses ~1e-5 to f32 cancellation, so
-    # it only SELECTS candidates (with a small safety margin); the returned
-    # distances are recomputed exactly from coordinate differences.
-    kc = min(k + 4, m)
+    # Shared centroid shift: cancellation in ‖x‖²−2x·y+‖y‖² grows with
+    # ‖x‖·‖y‖ (ADVICE r2) — centering makes the error ~scene-extent-scaled
+    # rather than offset-scaled. The same shift applies to both clouds so
+    # all pairwise distances are unchanged.
+    c = (jnp.mean(x, axis=0) + jnp.mean(y, axis=0)) * 0.5
+    xs = x - c
+    ys = y - c
+    # The centered expansion still loses ~1e-6·extent² to cancellation, so
+    # it only SELECTS candidates (with a k-scaled safety margin); the
+    # returned distances are recomputed from coordinate differences of the
+    # ORIGINAL (uncentered) points — centering itself rounds each f32
+    # coordinate by ~‖c‖·2⁻²⁴, which would perturb the refined distances.
+    kc = min(k + (candidate_margin if candidate_margin is not None
+                  else max(4, k)), m)
     outs_d, outs_i = [], []
     for s in range(0, n, chunk):
         xc = x[s:s + chunk]
-        d = _sq_dists(xc, y)
+        d = _sq_dists(xs[s:s + chunk], ys)
         _, cand = jax.lax.top_k(-d, kc)
         d_exact = jnp.sum((xc[:, None, :] - y[cand]) ** 2, -1)
         neg_top, sel = jax.lax.top_k(-d_exact, k)
