@@ -1,6 +1,10 @@
 """Benchmark: LoTD multi-level encode throughput on the real TPU.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "detail"}.
+Prints the JSON line {"metric", "value", "unit", "vs_baseline", "detail"}.
+The line is (re-)emitted after EVERY completed section — a driver timeout
+mid-run takes the freshest complete result instead of nothing (round 2's
+record was lost to exactly that: rc=124, parsed=null). A SIGTERM handler
+emits once more on the way out.
 
 Baseline (BASELINE.md): reference CUDA LoTD forward, 8-level Dense+Hash
 hash-only fast path, 3.6M points, fp32-in/fp16-params → 1.24 ms ≈
@@ -8,33 +12,70 @@ hash-only fast path, 3.6M points, fp32-in/fp16-params → 1.24 ms ≈
 vs_baseline = ours / 2.9.
 
 Measures the v3 brick kernel (ops/lotd_brick.py): lane-packed extraction,
-MXU reductions, Pallas backward, and software pipelining — the scalar core
-gathers block j+1's rows while the VPU extracts block j (fwd measured
-15.0 cyc/pt vs the phase-serial v2's 23.5 against a ~14-cyc gather-issue
-floor). Detail reports these workloads:
-  fwd_random    — 3.6M uniform-random points (the reference bench workload;
-                  gather-issue-bound: v5e has no gather hardware, ceiling
-                  ≈ 0.94G rows/s scalar-issue → ≈ 0.117 GS/s at 8 levels)
-  fwd_ray       — 3.6M ray-ordered samples (the actual rendering workload;
-                  same kernel — control-flow coherence variants measured
-                  slower, see docs/DESIGN.md §3)
-  fwdbwd_random / fwdbwd_ray — value_and_grad wrt (params, x): the training
-                  step's encode cost (Pallas backward — VERDICT #1d)
+MXU reductions, Pallas backward, and software pipelining. Detail keys:
+  fwd_random_gs       — 3.6M uniform-random points (the reference bench
+                        workload; gather-issue-bound: v5e has no gather
+                        hardware, scalar-issue ceiling ≈ 0.117 GS/s at
+                        8 levels — see docs/DESIGN.md §3)
+  fwdbwd_random_gs    — value_and_grad wrt (params, x): the training
+                        step's encode cost (Pallas backward)
+  fwdbwd_frozen_x_gs  — radiance-style training (no grad wrt positions)
+  nablas_2nd_order_gs — eikonal path: dydx kernel + 2nd-order backward
+  *_w4_gs             — bf16-packed F=4 rows: same 16 output features at
+                        half the scalar gather issues per point
+  permuto_cell*_gs    — cell-packed permutohedral encode
+  gaussian_tiled_*    — 3DGS tiled rasterizer, 500k gaussians @ 512²
+  render_* / train_*  — end-to-end renderer/training rays/s (the metric
+                        the occupancy-compression design optimizes)
+
+Ray-ordered workloads were dropped: `coherent` is ignored by the kernels
+(control-flow coherence variants measured slower and were removed —
+DESIGN.md §3), so ray streams run the identical unrolled path; round-2
+hardware runs confirmed fwd_ray ≈ fwd_random (0.0633 vs 0.0635).
 
 Timing: axon block_until_ready returns early and readback costs ~1 s, so we
-chain data-dependent iterations in one jit and difference two run lengths
+chain data-dependent iterations in one jit (trip count is a TRACED arg —
+one compile serves both run lengths) and difference two run lengths
 (memory: tpu-env-pitfalls).
 """
 
 import json
+import os
+import signal
+import sys
 import time
 
-import numpy as np
+BASELINE_GS = 2.9  # GSamples/s (reference CUDA, 3.6M pts, fwd, random)
+
+detail = {}
+_emitted_any = False
+
+
+def emit():
+    """Print the full JSON line with everything measured so far."""
+    global _emitted_any
+    headline = detail.get("fwd_random_gs", 0.0)
+    print(json.dumps({
+        "metric": "lotd_fwd_throughput_8lvl_dense_hash_3.6Mpts",
+        "value": headline,
+        "unit": "GSamples/s",
+        "vs_baseline": round(headline / BASELINE_GS, 4),
+        "detail": dict(detail),
+    }), flush=True)
+    _emitted_any = True
+
+
+def _on_term(sig, frame):
+    # the driver's `timeout` sends SIGTERM; salvage the record
+    print(f"# SIGTERM/SIGINT ({sig}) — emitting salvage JSON and exiting",
+          file=sys.stderr, flush=True)
+    emit()
+    os._exit(0)
 
 
 def _timed(fn, *args):
     t0 = time.perf_counter()
-    float(fn(0.0, *args))
+    float(fn(*args))
     return time.perf_counter() - t0
 
 
@@ -48,7 +89,6 @@ def _device_probe_ok(timeout_s: float = 240.0) -> bool:
     (The chip lock is process-exclusive; the probe exits and releases it.)
     """
     import subprocess
-    import sys
 
     try:
         r = subprocess.run(
@@ -61,15 +101,14 @@ def _device_probe_ok(timeout_s: float = 240.0) -> bool:
 
 
 def main():
-    import os
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
 
     t_start = time.time()
     budget = float(os.environ.get("BENCH_BUDGET_S", 2100))
     cpu_fallback = not _device_probe_ok()
 
     def over_budget(section):
-        import sys
-
         if cpu_fallback:
             print(f"# skipping {section}: cpu fallback (tunnel dead); "
                   f"Pallas sections need the TPU", file=sys.stderr,
@@ -77,13 +116,10 @@ def main():
             return True
         if time.time() - t_start > budget:
             print(f"# skipping {section}: past BENCH_BUDGET_S={budget:.0f}"
-                  f" ({time.time() - t_start:.0f}s elapsed) — the headline"
-                  f" JSON line must not be lost to a driver timeout",
+                  f" ({time.time() - t_start:.0f}s elapsed)",
                   file=sys.stderr, flush=True)
             return True
         return False
-
-    import sys
 
     import jax
 
@@ -106,36 +142,26 @@ def main():
         hashmap_rows=4096)
 
     n_pts = 360_000 if cpu_fallback else 3_600_000
-    k1, k2, k3, k4 = jax.random.split(jax.random.key(0), 4)
+    k1, k2 = jax.random.split(jax.random.key(0), 2)
     table = jax.random.normal(k1, (meta.total_rows, 128), jnp.float32) * 1e-2
     x_rand = jax.random.uniform(k2, (n_pts, 3), jnp.float32)
-
-    # ray-ordered workload: R rays × S samples, the renderer's point stream
-    n_rays, n_samp = n_pts // 72, 72
-    o = jax.random.uniform(k3, (n_rays, 1, 3), jnp.float32, 0.05, 0.95)
-    d = jax.random.normal(k4, (n_rays, 1, 3), jnp.float32)
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    t = jnp.linspace(0.0, 0.5, n_samp)[None, :, None]
-    x_ray = jnp.clip(o + d * t, 0.0, 0.999).reshape(n_rays * n_samp, 3)
-    x_ray = x_ray[:n_pts]
 
     # IMPORTANT: x/table must be jit ARGUMENTS, never closure captures — a
     # large closed-over device array becomes a jaxpr constant and the axon
     # compile path degenerates (274 s vs 3 s observed for the same program).
     use_pallas = not cpu_fallback
 
-    def fwd(xx, tt, coherent):
-        return B.brick_encode(xx, tt, meta, use_pallas, coherent)
+    def fwd(xx, tt):
+        return B.brick_encode(xx, tt, meta, use_pallas)
 
-    def fwdbwd(xx, tt, coherent):
+    def fwdbwd(xx, tt):
         def loss(t_, x_):
-            return jnp.sum(
-                B.brick_encode(x_, t_, meta, use_pallas, coherent) ** 2)
+            return jnp.sum(B.brick_encode(x_, t_, meta, use_pallas) ** 2)
 
         l, (dt_, dx_) = jax.value_and_grad(loss, argnums=(0, 1))(tt, xx)
         return l + jnp.sum(dt_[0]) * 1e-30 + jnp.sum(dx_[0]) * 1e-30
 
-    def nablas_fwdbwd(xx, tt, coherent):
+    def nablas_fwdbwd(xx, tt):
         # eikonal training: the nablas op (dydx kernel) forward + its
         # 2nd-order Pallas backward (reference lotd_encoding.h:765)
         gup = jnp.ones((xx.shape[0], 2 * meta.n_levels), jnp.float32) * 1e-2
@@ -148,7 +174,7 @@ def main():
         return l + jnp.sum(dg_[0]) * 1e-30 + jnp.sum(dx_[0]) * 1e-30 \
             + jnp.sum(dt_[0]) * 1e-30
 
-    def fwdbwd_frozen(xx, tt, coherent):
+    def fwdbwd_frozen(xx, tt):
         # plain radiance-field training: positions carry no gradient, the
         # backward skips its table gather (brick_encode_frozen_x)
         def loss(t_, x_):
@@ -157,11 +183,12 @@ def main():
         l, dt_ = jax.value_and_grad(loss)(tt, xx)
         return l + jnp.sum(dt_[0]) * 1e-30
 
-    def chain(run, coherent, n):
-        def chained(c, x0, tt):
+    def chain(run):
+        # n is TRACED: one compile serves both the n=1 and n=n_hi timings
+        def chained(n, c, x0, tt):
             def body(i, carry):
                 cc, acc = carry
-                y = run(x0 * (1.0 + cc * 1e-30), tt, coherent)
+                y = run(x0 * (1.0 + cc * 1e-30), tt)
                 s = jnp.sum(y.astype(jnp.float32)) if y.ndim else y
                 return (s.astype(jnp.float32) * 1e-30,
                         acc + s.astype(jnp.float32))
@@ -170,32 +197,26 @@ def main():
 
         return jax.jit(chained)
 
-    def measure(run, coherent, x0, n_hi=8):
-        lo, hi = chain(run, coherent, 1), chain(run, coherent, n_hi)
-        float(lo(0.0, x0, table))
-        float(hi(0.0, x0, table))
-        t_lo = min(_timed(lo, x0, table) for _ in range(2))
-        t_hi = min(_timed(hi, x0, table) for _ in range(2))
+    def measure(run, x0, tt, n_pts_local=None, n_hi=8, reps=2):
+        f = chain(run)
+        float(f(1, 0.0, x0, tt))  # compile + warm
+        t_lo = min(_timed(f, 1, 0.0, x0, tt) for _ in range(reps))
+        t_hi = min(_timed(f, n_hi, 0.0, x0, tt) for _ in range(reps))
         dt = (t_hi - t_lo) / (n_hi - 1)
-        return n_pts / dt / 1e9
+        return (n_pts_local or n_pts) / dt / 1e9
 
-    detail = {}
-    workloads = [("fwd_random_gs", fwd, False, x_rand),
-                 ("fwd_ray_gs", fwd, True, x_ray),
-                 ("fwdbwd_random_gs", fwdbwd, False, x_rand),
-                 ("fwdbwd_ray_gs", fwdbwd, True, x_ray),
-                 ("fwdbwd_frozen_x_gs", fwdbwd_frozen, False, x_rand),
-                 ("nablas_2nd_order_gs", nablas_fwdbwd, False, x_rand)]
+    workloads = [("fwd_random_gs", fwd, x_rand),
+                 ("fwdbwd_random_gs", fwdbwd, x_rand)]
     if cpu_fallback:
         # frozen/nablas are Pallas-kernel paths; keep only the XLA-safe two
         detail["platform"] = "cpu_fallback_tunnel_dead"
         detail["n_pts"] = n_pts
-        workloads = workloads[:1] + workloads[2:3]
-    for name, run, coh, xx in workloads:
+        workloads = workloads[:2]
+    for name, run, xx in workloads:
         # never lose the headline JSON to one workload: retry once with
-        # the Mosaic-unvalidated MXU gather off, then record the error
+        # the MXU one-hot gather off, then record the error
         try:
-            detail[name] = round(measure(run, coh, xx), 4)
+            detail[name] = round(measure(run, xx, table), 4)
         except Exception as e:
             if B._MXU_DENSE:
                 print(f"# {name} failed with MXU gather on ({e!r}); "
@@ -204,14 +225,16 @@ def main():
                 B._MXU_DENSE = False
                 detail["mxu_gather_disabled"] = True
                 try:
-                    detail[name] = round(measure(run, coh, xx), 4)
+                    detail[name] = round(measure(run, xx, table), 4)
                 except Exception as e2:
                     e = e2
             if name not in detail:
                 print(f"# {name} FAILED: {e!r}", file=sys.stderr, flush=True)
                 detail[name + "_error"] = repr(e)[:300]
+                emit()
                 continue
         print(f"# {name} = {detail[name]}", file=sys.stderr, flush=True)
+        emit()
     if not cpu_fallback and "fwd_random_gs" in detail:
         # roofline context (VERDICT #9), TPU only: attribute the rate to
         # the binding resource. The forward is gather-ISSUE-bound: 8
@@ -233,6 +256,49 @@ def main():
         # axis.
         detail["reduce_matmul_tflops"] = round(
             detail["fwd_random_gs"] * 1e9 * 2 * 128 * 16 / 1e12, 3)
+        emit()
+
+    # end-to-end renderer throughput EARLY (the competitive metric — the
+    # encode microbench can't cross the v5e scalar-issue roofline, the
+    # renderer can compete; docs/DESIGN.md §3 consequences). Placed right
+    # after the two headline workloads so a driver timeout can't lose it.
+    try:
+        if over_budget("render/train"):
+            raise TimeoutError
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "bench_render", os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "experiments", "bench_render.py"))
+        br = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(br)
+        render_jobs = [
+            ("render_fwd_brick_compressed_krays",
+             lambda: br.main(use_brick=True, mode="march_occ_compressed")),
+            ("train_step_neus_brick_krays",
+             lambda: br.main_train(use_brick=True, kind="neus")),
+            ("render_fwd_brick4_compressed_krays",
+             lambda: br.main(use_brick=True, mode="march_occ_compressed",
+                             w4=True)),
+            ("train_step_nerf_brick_krays",
+             lambda: br.main_train(use_brick=True, kind="nerf")),
+            ("train_step_neus_w4_krays",
+             lambda: br.main_train(use_brick=True, kind="neus_w4")),
+        ]
+        for key_, job in render_jobs:
+            if over_budget(key_):
+                break
+            try:
+                detail[key_] = round(job() / 1e3, 1)
+                print(f"# {key_} = {detail[key_]}", file=sys.stderr,
+                      flush=True)
+            except Exception as e:
+                print(f"# {key_} FAILED: {e!r}", file=sys.stderr, flush=True)
+                detail[key_ + "_error"] = repr(e)[:300]
+            emit()
+    except Exception as e:  # never lose the headline line to a render issue
+        print(f"# render bench skipped: {e}", file=sys.stderr, flush=True)
 
     # bf16-packed F=4 variant (ops/lotd_brick4.py): 4 levels × 4 feats =
     # the same 16 output features as the 8×2 headline at HALF the scalar
@@ -249,40 +315,39 @@ def main():
         tab4 = jax.random.normal(jax.random.key(11),
                                  (meta4.total_rows, 256), jnp.float32) * 1e-2
 
-        def fwd4(xx, tt, coherent):
+        def fwd4(xx, tt):
             return B4.brick4_encode(xx, tt, meta4)
 
-        def fwdbwd4(xx, tt, coherent):
+        def fwdbwd4(xx, tt):
             def loss(t_, x_):
                 return jnp.sum(B4.brick4_encode(x_, t_, meta4) ** 2)
 
             l, (dt_, dx_) = jax.value_and_grad(loss, argnums=(0, 1))(tt, xx)
             return l + jnp.sum(dt_[0]) * 1e-30 + jnp.sum(dx_[0]) * 1e-30
 
-        def chain4(run, n):
-            def chained(c, x0, tt):
-                def body(i, carry):
-                    cc, acc = carry
-                    y = run(x0 * (1.0 + cc * 1e-30), tt, False)
-                    s = jnp.sum(y.astype(jnp.float32)) if y.ndim else y
-                    return (s.astype(jnp.float32) * 1e-30,
-                            acc + s.astype(jnp.float32))
-
-                return jax.lax.fori_loop(0, n, body, (c, 0.0))[1]
-
-            return jax.jit(chained)
-
         for name, run in (("fwd_random_w4_gs", fwd4),
                           ("fwdbwd_random_w4_gs", fwdbwd4)):
-            lo, hi = chain4(run, 1), chain4(run, 8)
-            float(lo(0.0, x_rand, tab4))
-            float(hi(0.0, x_rand, tab4))
-            t_lo = min(_timed(lo, x_rand, tab4) for _ in range(2))
-            t_hi = min(_timed(hi, x_rand, tab4) for _ in range(2))
-            detail[name] = round(n_pts / ((t_hi - t_lo) / 7) / 1e9, 4)
+            detail[name] = round(measure(run, x_rand, tab4), 4)
             print(f"# {name} = {detail[name]}", file=sys.stderr, flush=True)
+            emit()
     except Exception as e:
         print(f"# brick4 bench skipped: {e}", file=sys.stderr, flush=True)
+
+    # secondary encode workloads: frozen-x backward (radiance-style
+    # training) and the 2nd-order nablas path (eikonal training)
+    if not cpu_fallback:
+        for name, run, xx in (("fwdbwd_frozen_x_gs", fwdbwd_frozen, x_rand),
+                              ("nablas_2nd_order_gs", nablas_fwdbwd, x_rand)):
+            if over_budget(name):
+                break
+            try:
+                detail[name] = round(measure(run, xx, table), 4)
+                print(f"# {name} = {detail[name]}", file=sys.stderr,
+                      flush=True)
+            except Exception as e:
+                print(f"# {name} FAILED: {e!r}", file=sys.stderr, flush=True)
+                detail[name + "_error"] = repr(e)[:300]
+            emit()
 
     # the second flagship encoding: cell-packed permuto (ops/permuto_cell.py
     # — 1 gather/(pt,level); reference csrc/permuto). Same 8-level, 3.6M-pt
@@ -297,30 +362,14 @@ def main():
         ptab = jax.random.normal(jax.random.key(7),
                                  (pmeta.total_rows, 128), jnp.float32) * 1e-2
 
-        def permuto_fwd(xx, tt, coherent):
+        def permuto_fwd(xx, tt):
             return PC.permuto_cell_encode(xx, tt, pmeta)
 
-        def pchain(n):
-            def chained(c, x0, tt):
-                def body(i, carry):
-                    cc, acc = carry
-                    s = jnp.sum(permuto_fwd(x0 * (1.0 + cc * 1e-30), tt,
-                                            False).astype(jnp.float32))
-                    return s * 1e-30, acc + s
-
-                return jax.lax.fori_loop(0, n, body, (c, 0.0))[1]
-
-            return jax.jit(chained)
-
-        lo, hi = pchain(1), pchain(8)
-        float(lo(0.0, x_rand, ptab))
-        float(hi(0.0, x_rand, ptab))
-        t_lo = min(_timed(lo, x_rand, ptab) for _ in range(2))
-        t_hi = min(_timed(hi, x_rand, ptab) for _ in range(2))
         detail["permuto_cell_fwd_gs"] = round(
-            n_pts / ((t_hi - t_lo) / 7) / 1e9, 4)
+            measure(permuto_fwd, x_rand, ptab), 4)
         print(f"# permuto_cell_fwd_gs = {detail['permuto_cell_fwd_gs']}",
               file=sys.stderr, flush=True)
+        emit()
     except Exception as e:
         print(f"# permuto bench skipped: {e}", file=sys.stderr, flush=True)
 
@@ -337,28 +386,14 @@ def main():
                                   (pmeta4.total_rows, 256),
                                   jnp.float32) * 1e-2
 
-        def p4chain(n):
-            def chained(c, x0, tt):
-                def body(i, carry):
-                    cc, acc = carry
-                    s = jnp.sum(PC4.permuto_cell4_encode(
-                        x0 * (1.0 + cc * 1e-30), tt, pmeta4
-                    ).astype(jnp.float32))
-                    return s * 1e-30, acc + s
+        def permuto4_fwd(xx, tt):
+            return PC4.permuto_cell4_encode(xx, tt, pmeta4)
 
-                return jax.lax.fori_loop(0, n, body, (c, 0.0))[1]
-
-            return jax.jit(chained)
-
-        lo, hi = p4chain(1), p4chain(8)
-        float(lo(0.0, x_rand, ptab4))
-        float(hi(0.0, x_rand, ptab4))
-        t_lo = min(_timed(lo, x_rand, ptab4) for _ in range(2))
-        t_hi = min(_timed(hi, x_rand, ptab4) for _ in range(2))
         detail["permuto_cell4_fwd_gs"] = round(
-            n_pts / ((t_hi - t_lo) / 7) / 1e9, 4)
+            measure(permuto4_fwd, x_rand, ptab4), 4)
         print(f"# permuto_cell4_fwd_gs = {detail['permuto_cell4_fwd_gs']}",
               file=sys.stderr, flush=True)
+        emit()
     except Exception as e:
         print(f"# permuto4 bench skipped: {e}", file=sys.stderr, flush=True)
 
@@ -380,87 +415,32 @@ def main():
         w2c = jnp.eye(4).at[2, 3].set(3.0)
         intr_g = jnp.asarray([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]])
 
-        def gs_run(mm):
-            return GS.rasterize_gaussians_tiled(
-                mm, scales, quats, opac, cols, w2c, intr_g, hw_g)["rgb"]
+        def gs_run(mm, _unused):
+            return jnp.sum(GS.rasterize_gaussians_tiled(
+                mm, scales, quats, opac, cols, w2c, intr_g, hw_g)["rgb"])
 
-        def gs_chain(n):
-            def chained(c, mm):
-                def body(i, carry):
-                    cc, acc = carry
-                    s = jnp.sum(gs_run(mm * (1.0 + cc * 1e-30)))
-                    return s * 1e-30, acc + s
-
-                return jax.lax.fori_loop(0, n, body, (c, 0.0))[1]
-
-            return jax.jit(chained)
-
-        lo, hi = gs_chain(1), gs_chain(4)
-        float(lo(0.0, means))
-        float(hi(0.0, means))
-        t_lo = min(_timed(lo, means) for _ in range(2))
-        t_hi = min(_timed(hi, means) for _ in range(2))
-        dt_g = (t_hi - t_lo) / 3
+        rate = measure(gs_run, means, jnp.zeros(()), n_pts_local=1, n_hi=4)
+        dt_g = 1.0 / (rate * 1e9)
         detail["gaussian_tiled_500k_512px_mpix_s"] = round(
             hw_g[0] * hw_g[1] / dt_g / 1e6, 2)
         detail["gaussian_tiled_500k_512px_fps"] = round(1.0 / dt_g, 2)
         print(f"# gaussian_tiled_500k_512px_fps = "
               f"{detail['gaussian_tiled_500k_512px_fps']}",
               file=sys.stderr, flush=True)
+        emit()
     except Exception as e:
         print(f"# gaussian bench skipped: {e}", file=sys.stderr, flush=True)
 
-    # end-to-end renderer throughput (the metric the renderer design
-    # optimizes — occupancy compression cuts the NUMBER of gathers; see
-    # docs/DESIGN.md §3 consequences). Round-1 march_occ+XLA: 50.4 Krays/s.
-    try:
-        if over_budget("render/train"):
-            raise TimeoutError
-        import importlib.util
-        import os
-
-        spec = importlib.util.spec_from_file_location(
-            "bench_render", os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "experiments", "bench_render.py"))
-        br = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(br)
-        detail["render_fwd_brick_compressed_krays"] = round(
-            br.main(use_brick=True, mode="march_occ_compressed") / 1e3, 1)
-        print(f"# render_fwd_brick_compressed_krays = "
-              f"{detail['render_fwd_brick_compressed_krays']}",
-              file=sys.stderr, flush=True)
-        detail["render_fwd_brick4_compressed_krays"] = round(
-            br.main(use_brick=True, mode="march_occ_compressed",
-                    w4=True) / 1e3, 1)
-        print(f"# render_fwd_brick4_compressed_krays = "
-              f"{detail['render_fwd_brick4_compressed_krays']}",
-              file=sys.stderr, flush=True)
-        detail["train_step_nerf_brick_krays"] = round(
-            br.main_train(use_brick=True, kind="nerf") / 1e3, 1)
-        print(f"# train_step_nerf_brick_krays = "
-              f"{detail['train_step_nerf_brick_krays']}",
-              file=sys.stderr, flush=True)
-        # flagship NeuS training (eikonal → 2nd-order kernels): F=2 brick
-        # vs the bf16-packed F=4 config at the same feature count
-        for kind, key_ in (("neus", "train_step_neus_brick_krays"),
-                           ("neus_w4", "train_step_neus_w4_krays")):
-            detail[key_] = round(
-                br.main_train(use_brick=True, kind=kind) / 1e3, 1)
-            print(f"# {key_} = {detail[key_]}", file=sys.stderr, flush=True)
-    except Exception as e:  # never lose the headline line to a render issue
-        print(f"# render bench skipped: {e}", file=sys.stderr, flush=True)
-
-    baseline = 2.9  # GSamples/s (reference CUDA, 3.6M pts, fwd, random)
-    headline = detail.get("fwd_random_gs", 0.0)
-    print(json.dumps({
-        "metric": "lotd_fwd_throughput_8lvl_dense_hash_3.6Mpts",
-        "value": headline,
-        "unit": "GSamples/s",
-        "vs_baseline": round(headline / baseline, 4),
-        "detail": detail,
-    }))
+    emit()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:
+        # last-resort salvage: emit whatever was measured, then re-raise
+        if not isinstance(e, SystemExit):
+            print(f"# bench aborted: {e!r}", file=sys.stderr, flush=True)
+        if detail or not _emitted_any:
+            emit()
+        raise
