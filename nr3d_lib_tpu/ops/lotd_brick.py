@@ -1129,16 +1129,18 @@ def _brick_encode_pallas(x: Array, table: Array, meta: BrickMeta,
                          coherent: bool = False, bidx=None) -> Array:
     n = x.shape[0]
     if n > _MAX_CHUNK:
-        k = (n + _MAX_CHUNK - 1) // _MAX_CHUNK
-        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n), (0, 0)))
-        bp = None if bidx is None else jnp.pad(bidx,
-                                               (0, k * _MAX_CHUNK - n))
-        outs = [_brick_encode_pallas_impl(
-            xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK], table, meta, tile,
-            interpret, coherent,
-            None if bp is None else bp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK])
-            for i in range(k)]
-        return jnp.concatenate(outs, axis=0)[:n]
+        from nr3d_lib_tpu.ops.chunking import scan_chunks
+
+        per_point = (x,) if bidx is None else (x, bidx)
+
+        def body(xc, *rest):
+            out = _brick_encode_pallas_impl(
+                xc, table, meta, tile, interpret, coherent,
+                rest[0] if rest else None)
+            return (out,), ()
+
+        (out,), _ = scan_chunks(body, per_point, n, _MAX_CHUNK)
+        return out
     return _brick_encode_pallas_impl(x, table, meta, tile, interpret,
                                      coherent, bidx)
 
@@ -1210,21 +1212,19 @@ def _brick_bwd_pallas(x: Array, table: Array, g_up: Array, meta: BrickMeta,
     """Pallas backward: (dL/dx [N,3], dL/dtable [rows,128])."""
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
-        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
-        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        bp = None if bidx is None else jnp.pad(bidx,
-                                               (0, k * _MAX_CHUNK - n0))
-        dxs, dtab = [], jnp.zeros_like(table)
-        for i in range(k):
-            sl = slice(i * _MAX_CHUNK, (i + 1) * _MAX_CHUNK)
+        from nr3d_lib_tpu.ops.chunking import scan_chunks
+
+        per_point = (x, g_up) if bidx is None else (x, g_up, bidx)
+
+        def body(xc, gc, *rest):
             dx_i, dt_i = _brick_bwd_pallas_impl(
-                xp[sl], table, gp[sl], meta, tile,
-                interpret, coherent, need_dx,
-                None if bp is None else bp[sl])
-            dxs.append(dx_i)
-            dtab = dtab + dt_i
-        return jnp.concatenate(dxs, axis=0)[:n0], dtab
+                xc, table, gc, meta, tile, interpret, coherent, need_dx,
+                rest[0] if rest else None)
+            return (dx_i,), (dt_i,)
+
+        (dx,), (dtab,) = scan_chunks(body, per_point, n0, _MAX_CHUNK,
+                                     sum_init=(jnp.zeros_like(table),))
+        return dx, dtab
     return _brick_bwd_pallas_impl(x, table, g_up, meta, tile, interpret,
                                   coherent, need_dx, bidx)
 
@@ -1384,18 +1384,17 @@ def _brick_dydx_pallas(g_up: Array, x: Array, table: Array, meta: BrickMeta,
 
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
-        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
-        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        bp = None if bidx is None else jnp.pad(bidx,
-                                               (0, k * _MAX_CHUNK - n0))
-        return jnp.concatenate(
-            [_brick_dydx_pallas(gp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
-                                xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
-                                table, meta, tile, interpret,
-                                None if bp is None else
-                                bp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK])
-             for i in range(k)], axis=0)[:n0]
+        from nr3d_lib_tpu.ops.chunking import scan_chunks
+
+        per_point = (x, g_up) if bidx is None else (x, g_up, bidx)
+
+        def body(xc, gc, *rest):
+            dx_i = _brick_dydx_pallas(gc, xc, table, meta, tile, interpret,
+                                      rest[0] if rest else None)
+            return (dx_i,), ()
+
+        (dx,), _ = scan_chunks(body, per_point, n0, _MAX_CHUNK)
+        return dx
     x, n = _pad_points(x, tile)
     n_pad = x.shape[0]
     if g_up.shape[0] != n_pad:
@@ -1464,23 +1463,21 @@ def _brick_bwd2_pallas(g_up: Array, x: Array, table: Array, gg: Array,
 
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
-        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
-        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        ggp = jnp.pad(gg, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        bp = None if bidx is None else jnp.pad(bidx,
-                                               (0, k * _MAX_CHUNK - n0))
-        dgups, dxs, dtab = [], [], jnp.zeros_like(table)
-        for i in range(k):
-            sl = slice(i * _MAX_CHUNK, (i + 1) * _MAX_CHUNK)
-            a, b, c = _brick_bwd2_pallas(gp[sl], xp[sl], table, ggp[sl],
-                                         meta, tile, interpret,
-                                         None if bp is None else bp[sl])
-            dgups.append(a)
-            dxs.append(b)
-            dtab = dtab + c
-        return (jnp.concatenate(dgups)[:n0], jnp.concatenate(dxs)[:n0],
-                dtab)
+        from nr3d_lib_tpu.ops.chunking import scan_chunks
+
+        per_point = ((x, g_up, gg) if bidx is None
+                     else (x, g_up, gg, bidx))
+
+        def body(xc, gc, ggc, *rest):
+            a, b, c = _brick_bwd2_pallas(gc, xc, table, ggc, meta, tile,
+                                         interpret,
+                                         rest[0] if rest else None)
+            return (a, b), (c,)
+
+        (dgup, dx), (dtab,) = scan_chunks(
+            body, per_point, n0, _MAX_CHUNK,
+            sum_init=(jnp.zeros_like(table),))
+        return dgup, dx, dtab
     x, n = _pad_points(x, tile)
     n_pad = x.shape[0]
     if g_up.shape[0] != n_pad:

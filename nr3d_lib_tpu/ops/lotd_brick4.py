@@ -374,12 +374,14 @@ def _brick4_fwd_pallas(x: Array, table_unpacked: Array, meta: BrickMeta,
 
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
-        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
-        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        return jnp.concatenate(
-            [_brick4_fwd_pallas(xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
-                                table_unpacked, meta, tile, interpret)
-             for i in range(k)], axis=0)[:n0]
+        from nr3d_lib_tpu.ops.chunking import scan_chunks
+
+        def body(xc):
+            return (_brick4_fwd_pallas(xc, table_unpacked, meta, tile,
+                                       interpret),), ()
+
+        (out,), _ = scan_chunks(body, (x,), n0, _MAX_CHUNK)
+        return out
     table = pack_table4(table_unpacked)
     x, n = _pad_points(x, tile)
     n_pad = x.shape[0]
@@ -419,17 +421,17 @@ def _brick4_bwd_pallas(x: Array, table_unpacked: Array, g_up: Array,
 
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
-        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
-        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        dxs, dtab = [], jnp.zeros_like(table_unpacked)
-        for i in range(k):
-            sl = slice(i * _MAX_CHUNK, (i + 1) * _MAX_CHUNK)
-            dx_i, dt_i = _brick4_bwd_pallas(xp[sl], table_unpacked, gp[sl],
-                                            meta, tile, interpret, need_dx)
-            dxs.append(dx_i)
-            dtab = dtab + dt_i
-        return jnp.concatenate(dxs, axis=0)[:n0], dtab
+        from nr3d_lib_tpu.ops.chunking import scan_chunks
+
+        def body(xc, gc):
+            dx_i, dt_i = _brick4_bwd_pallas(xc, table_unpacked, gc, meta,
+                                            tile, interpret, need_dx)
+            return (dx_i,), (dt_i,)
+
+        (dx,), (dtab,) = scan_chunks(
+            body, (x, g_up), n0, _MAX_CHUNK,
+            sum_init=(jnp.zeros_like(table_unpacked),))
+        return dx, dtab
     table = pack_table4(table_unpacked)
     x, n = _pad_points(x, tile)
     n_pad = x.shape[0]
@@ -708,14 +710,14 @@ def _brick4_dydx_pallas(g_up: Array, x: Array, table_unpacked: Array,
 
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
-        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
-        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        return jnp.concatenate(
-            [_brick4_dydx_pallas(gp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
-                                 xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
-                                 table_unpacked, meta, tile, interpret)
-             for i in range(k)], axis=0)[:n0]
+        from nr3d_lib_tpu.ops.chunking import scan_chunks
+
+        def body(xc, gc):
+            return (_brick4_dydx_pallas(gc, xc, table_unpacked, meta,
+                                        tile, interpret),), ()
+
+        (dx,), _ = scan_chunks(body, (x, g_up), n0, _MAX_CHUNK)
+        return dx
     table = pack_table4(table_unpacked)
     x, n = _pad_points(x, tile)
     n_pad = x.shape[0]
@@ -758,20 +760,17 @@ def _brick4_bwd2_pallas(g_up: Array, x: Array, table_unpacked: Array,
 
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
-        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
-        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        ggp = jnp.pad(gg, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        dgups, dxs, dtab = [], [], jnp.zeros_like(table_unpacked)
-        for i in range(k):
-            sl = slice(i * _MAX_CHUNK, (i + 1) * _MAX_CHUNK)
-            a, b, c = _brick4_bwd2_pallas(gp[sl], xp[sl], table_unpacked,
-                                          ggp[sl], meta, tile, interpret)
-            dgups.append(a)
-            dxs.append(b)
-            dtab = dtab + c
-        return (jnp.concatenate(dgups)[:n0], jnp.concatenate(dxs)[:n0],
-                dtab)
+        from nr3d_lib_tpu.ops.chunking import scan_chunks
+
+        def body(xc, gc, ggc):
+            a, b, c = _brick4_bwd2_pallas(gc, xc, table_unpacked, ggc,
+                                          meta, tile, interpret)
+            return (a, b), (c,)
+
+        (dgup, dx), (dtab,) = scan_chunks(
+            body, (x, g_up, gg), n0, _MAX_CHUNK,
+            sum_init=(jnp.zeros_like(table_unpacked),))
+        return dgup, dx, dtab
     table = pack_table4(table_unpacked)
     x, n = _pad_points(x, tile)
     n_pad = x.shape[0]

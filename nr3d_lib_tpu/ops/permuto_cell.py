@@ -810,13 +810,14 @@ def _encode_pallas(x: Array, table: Array, meta: PermutoCellMeta,
 
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
-        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
-        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)),
-                     constant_values=0.5)
-        return jnp.concatenate(
-            [_encode_pallas(xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
-                            table, meta, tile, interpret)
-             for i in range(k)], axis=0)[:n0]
+        from nr3d_lib_tpu.ops.chunking import scan_chunks
+
+        def body(xc):
+            return (_encode_pallas(xc, table, meta, tile, interpret),), ()
+
+        (out,), _ = scan_chunks(body, (x,), n0, _MAX_CHUNK,
+                                pad_values=(0.5,))
+        return out
     x, n = _pad_points(x, tile)
     n_pad = x.shape[0]
     outs = []
@@ -888,15 +889,15 @@ def _bwd_table_pallas(g_up: Array, x: Array, meta: PermutoCellMeta,
     table_shape = (meta.total_rows, LANES)
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
-        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
-        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)),
-                     constant_values=0.5)
-        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        out = jnp.zeros(table_shape, dtype)
-        for i in range(k):
-            sl = slice(i * _MAX_CHUNK, (i + 1) * _MAX_CHUNK)
-            out = out + _bwd_table_pallas(gp[sl], xp[sl], meta, dtype,
-                                          tile, interpret)
+        from nr3d_lib_tpu.ops.chunking import scan_chunks
+
+        def body(xc, gc):
+            return (), (_bwd_table_pallas(gc, xc, meta, dtype, tile,
+                                          interpret),)
+
+        _, (out,) = scan_chunks(body, (x, g_up), n0, _MAX_CHUNK,
+                                sum_init=(jnp.zeros(table_shape, dtype),),
+                                pad_values=(0.5,))
         return out
     x, n = _pad_points(x, tile)
     n_pad = x.shape[0]
@@ -972,18 +973,17 @@ def _bwd_full_pallas(g_up: Array, x: Array, table: Array,
     d = meta.n_dims
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
-        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
-        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)),
-                     constant_values=0.5)
-        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        dxs, dtab = [], jnp.zeros((meta.total_rows, LANES), table.dtype)
-        for i in range(k):
-            sl = slice(i * _MAX_CHUNK, (i + 1) * _MAX_CHUNK)
-            a, b = _bwd_full_pallas(gp[sl], xp[sl], table, meta, tile,
-                                    interpret)
-            dxs.append(a)
-            dtab = dtab + b
-        return jnp.concatenate(dxs)[:n0], dtab
+        from nr3d_lib_tpu.ops.chunking import scan_chunks
+
+        def body(xc, gc):
+            a, b = _bwd_full_pallas(gc, xc, table, meta, tile, interpret)
+            return (a,), (b,)
+
+        (dx,), (dtab,) = scan_chunks(
+            body, (x, g_up), n0, _MAX_CHUNK,
+            sum_init=(jnp.zeros((meta.total_rows, LANES), table.dtype),),
+            pad_values=(0.5,))
+        return dx, dtab
     x, n = _pad_points(x, tile)
     n_pad = x.shape[0]
     if g_up.shape[0] != n_pad:
@@ -1240,15 +1240,15 @@ def _dydx_pallas(g_up: Array, x: Array, table: Array,
     d = meta.n_dims
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
-        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
-        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)),
-                     constant_values=0.5)
-        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        return jnp.concatenate(
-            [_dydx_pallas(gp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
-                          xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
-                          table, meta, tile, interpret)
-             for i in range(k)], axis=0)[:n0]
+        from nr3d_lib_tpu.ops.chunking import scan_chunks
+
+        def body(xc, gc):
+            return (_dydx_pallas(gc, xc, table, meta, tile,
+                                 interpret),), ()
+
+        (dx,), _ = scan_chunks(body, (x, g_up), n0, _MAX_CHUNK,
+                               pad_values=(0.5,))
+        return dx
     x, n = _pad_points(x, tile)
     n_pad = x.shape[0]
     if g_up.shape[0] != n_pad:

@@ -346,13 +346,15 @@ def _encode4_pallas(x: Array, table_unpacked: Array, meta: PermutoCellMeta,
 
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
-        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
-        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)),
-                     constant_values=0.5)
-        return jnp.concatenate(
-            [_encode4_pallas(xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
-                             table_unpacked, meta, tile, interpret)
-             for i in range(k)], axis=0)[:n0]
+        from nr3d_lib_tpu.ops.chunking import scan_chunks
+
+        def body(xc):
+            return (_encode4_pallas(xc, table_unpacked, meta, tile,
+                                    interpret),), ()
+
+        (out,), _ = scan_chunks(body, (x,), n0, _MAX_CHUNK,
+                                pad_values=(0.5,))
+        return out
     table = pack_table4(table_unpacked)
     x, n = _pad_points(x, tile)
     n_pad = x.shape[0]
@@ -399,18 +401,18 @@ def _bwd4_pallas(x: Array, table_unpacked: Array, g_up: Array,
 
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
-        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
-        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)),
-                     constant_values=0.5)
-        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        dxs, dtab = [], jnp.zeros_like(table_unpacked)
-        for i in range(k):
-            sl = slice(i * _MAX_CHUNK, (i + 1) * _MAX_CHUNK)
-            dx_i, dt_i = _bwd4_pallas(xp[sl], table_unpacked, gp[sl], meta,
-                                      tile, interpret, need_dx)
-            dxs.append(dx_i)
-            dtab = dtab + dt_i
-        return jnp.concatenate(dxs, axis=0)[:n0], dtab
+        from nr3d_lib_tpu.ops.chunking import scan_chunks
+
+        def body(xc, gc):
+            dx_i, dt_i = _bwd4_pallas(xc, table_unpacked, gc, meta, tile,
+                                      interpret, need_dx)
+            return (dx_i,), (dt_i,)
+
+        (dx,), (dtab,) = scan_chunks(
+            body, (x, g_up), n0, _MAX_CHUNK,
+            sum_init=(jnp.zeros_like(table_unpacked),),
+            pad_values=(0.5,))
+        return dx, dtab
     table = pack_table4(table_unpacked)
     x, n = _pad_points(x, tile)
     n_pad = x.shape[0]
@@ -605,15 +607,15 @@ def _dydx4_pallas(g_up: Array, x: Array, table_unpacked: Array,
     d = meta.n_dims
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
-        k = (n0 + _MAX_CHUNK - 1) // _MAX_CHUNK
-        xp = jnp.pad(x, ((0, k * _MAX_CHUNK - n0), (0, 0)),
-                     constant_values=0.5)
-        gp = jnp.pad(g_up, ((0, k * _MAX_CHUNK - n0), (0, 0)))
-        return jnp.concatenate(
-            [_dydx4_pallas(gp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
-                           xp[i * _MAX_CHUNK:(i + 1) * _MAX_CHUNK],
-                           table_unpacked, meta, tile, interpret)
-             for i in range(k)], axis=0)[:n0]
+        from nr3d_lib_tpu.ops.chunking import scan_chunks
+
+        def body(xc, gc):
+            return (_dydx4_pallas(gc, xc, table_unpacked, meta, tile,
+                                  interpret),), ()
+
+        (dx,), _ = scan_chunks(body, (x, g_up), n0, _MAX_CHUNK,
+                               pad_values=(0.5,))
+        return dx
     table = pack_table4(table_unpacked)
     x, n = _pad_points(x, tile)
     n_pad = x.shape[0]
