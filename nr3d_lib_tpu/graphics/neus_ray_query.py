@@ -32,7 +32,15 @@ def _upsample_rounds(sdf_fn, o_n, d_n, t, valid, far, inv_s_base,
                      upsample_inv_s_factors, n_importance, perturb_key):
     """Iterative NeuS importance sampling (reference neus_ray_query.py:495-530
     upsample loop). Each round: alphas at growing sharpness → CDF sample →
-    merge-sort into the slab."""
+    merge-sort into the slab.
+
+    Sample PLACEMENT carries no gradient (the returned t is
+    stop_gradient'ed), exactly like the reference's no-grad upsampling
+    (`with torch.no_grad()` around the upsample loop): the per-round SDF
+    queries then run forward-only — XLA dead-code-eliminates their
+    backward, which would otherwise re-run the encode backward over every
+    upsample round's samples inside each train step (measured 350 ms/step
+    → see bench train_step_neus_brick_krays)."""
     r = t.shape[0]
     for round_i, factor in enumerate(upsample_inv_s_factors):
         order = jnp.argsort(jnp.where(valid, t, jnp.inf), axis=-1)
@@ -54,7 +62,7 @@ def _upsample_rounds(sdf_fn, o_n, d_n, t, valid, far, inv_s_base,
     order = jnp.argsort(jnp.where(valid, t, jnp.inf), axis=-1)
     t = jnp.take_along_axis(jnp.where(valid, t, far[:, None]), order, -1)
     valid = jnp.take_along_axis(valid, order, -1)
-    return t, valid
+    return jax.lax.stop_gradient(t), valid
 
 
 def _final_composite(model, o_n, d_n, rays_d, t, valid, ray_mask, inv_s,

@@ -112,6 +112,11 @@ def sphere_trace(rays_o: Array, rays_d: Array, near: Array, far: Array,
     status0 = jnp.where(near < far, RayStatus.ALIVE, RayStatus.OUT)
     t, status, _ = jax.lax.while_loop(
         cond, body, (t0, status0.astype(jnp.int32), jnp.asarray(0)))
+    # The traced depth is a sample-placement result, not a differentiable
+    # quantity (reverse-mode through while_loop is undefined anyway);
+    # downstream NeuS queries volume-render AT these positions, and the
+    # final sdf_query below still carries parameter gradients.
+    t = jax.lax.stop_gradient(t)
     x = rays_o + rays_d * t[:, None]
     sdf = sdf_query(x).reshape(r)
     return {"t": t, "x": x, "sdf": sdf, "status": status,
