@@ -232,17 +232,22 @@ def _fwd4_kernel_v3(meta: BrickMeta, tile: int, block: int,
 # -------------------------------------------------------------- bwd kernel
 def _bwd4_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
                     rows_ref, lane_ref, frac_ref, table_ref, m_ref,
-                    gup_ref, dtab_ref, dx_ref, gbuf_a, gbuf_b,
-                    sbuf_a, sbuf_b):
-    """Software-pipelined F=4 backward. dtab_ref: [rows, 256] with the LO
-    half-plane in lanes 0:128 and the HI half-plane in 128:256 (feature f
-    of vertex v at half-plane f&1, lane v·2 + (f>>1)); the public wrapper
-    permutes to the natural unpacked layout."""
+                    gup_ref, dtab_lo_ref, dtab_hi_ref, dx_ref, gbuf_a,
+                    gbuf_b, sbuf_a, sbuf_b):
+    """Software-pipelined F=4 backward. The dL/dtable accumulator is TWO
+    [rows, 128] half-plane refs (LO = features f&1==0, HI = f&1==1;
+    feature f of vertex v at lane v·2 + (f>>1)); the public wrapper
+    permutes to the natural unpacked layout. Separate 128-wide refs are a
+    hardware requirement, not a style choice: Mosaic rejects dynamic-row
+    (1,128) loads/stores that carry a column offset into a 256-wide
+    memref ("dynamic load with unaligned indices" — caught on the real
+    chip; interpret mode does not check alignment)."""
     from jax.experimental import pallas as pl
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        dtab_ref[:, :] = jnp.zeros_like(dtab_ref)
+        dtab_lo_ref[:, :] = jnp.zeros_like(dtab_lo_ref)
+        dtab_hi_ref[:, :] = jnp.zeros_like(dtab_hi_ref)
 
     L = meta.n_levels
     nblk = tile // block
@@ -258,11 +263,11 @@ def _bwd4_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
     def scatter_level(sbuf, base, l):
         for k in range(block):
             r = rows_ref[l, base + k]
-            dtab_ref[pl.ds(r, 1), 0:LANES] = \
-                dtab_ref[pl.ds(r, 1), 0:LANES] + \
+            dtab_lo_ref[pl.ds(r, 1), :] = \
+                dtab_lo_ref[pl.ds(r, 1), :] + \
                 sbuf[pl.ds(l * (2 * block) + k, 1), :]
-            dtab_ref[pl.ds(r, 1), LANES:2 * LANES] = \
-                dtab_ref[pl.ds(r, 1), LANES:2 * LANES] + \
+            dtab_hi_ref[pl.ds(r, 1), :] = \
+                dtab_hi_ref[pl.ds(r, 1), :] + \
                 sbuf[pl.ds(l * (2 * block) + block + k, 1), :]
 
     def process(gbuf, sbuf, base, next_base, prev_base, prev_sbuf):
@@ -442,7 +447,7 @@ def _brick4_bwd_pallas(x: Array, table_unpacked: Array, g_up: Array,
     m_dx = jnp.asarray(_dx_matrix4(meta), jnp.float32)
     block = _FWD_BLOCK if tile % (2 * _FWD_BLOCK) == 0 else tile // 2
     kernel = functools.partial(_bwd4_kernel_v3, meta, tile, block, need_dx)
-    dtab_hp, dx = pl.pallas_call(
+    dtab_lo, dtab_hi, dx = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
         in_specs=[
@@ -455,12 +460,15 @@ def _brick4_bwd_pallas(x: Array, table_unpacked: Array, g_up: Array,
             pl.BlockSpec((tile, 4 * L), lambda i: (i, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((table.shape[0], 2 * LANES), lambda i: (0, 0),
+            pl.BlockSpec((table.shape[0], LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((table.shape[0], LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 3), lambda i: (i, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((table.shape[0], 2 * LANES), jnp.float32),
+            jax.ShapeDtypeStruct((table.shape[0], LANES), jnp.float32),
+            jax.ShapeDtypeStruct((table.shape[0], LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((L * block, LANES), jnp.float32)
@@ -471,6 +479,7 @@ def _brick4_bwd_pallas(x: Array, table_unpacked: Array, g_up: Array,
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(rows, lane_c, frac_c, table, m_dx, g_up)
+    dtab_hp = jnp.concatenate([dtab_lo, dtab_hi], axis=1)
     return dx[:n], _halfplane_to_natural(dtab_hp)
 
 
@@ -570,17 +579,19 @@ def _dydx4_kernel_v3(meta: BrickMeta, tile: int, block: int,
 def _bwd24_kernel_v3(meta: BrickMeta, tile: int, block: int,
                      rows_ref, lane_ref, frac_ref, table_ref, mred_ref,
                      aux_ref, gup_ref, gg_ref,
-                     dgup_ref, dtab_ref, dx_ref, gbuf_a, gbuf_b,
-                     sbuf_a, sbuf_b):
+                     dgup_ref, dtab_lo_ref, dtab_hi_ref, dx_ref, gbuf_a,
+                     gbuf_b, sbuf_a, sbuf_b):
     """F=4 backward OF the nablas op: cotangents (d_gup [N,4L], d_x [N,3],
-    d_table half-planes [rows, 256]) given gg = cot(dL/dx). Same math as
-    the F=2 `_bwd2_kernel_v3` with the packed unpack and half-plane
-    scatter of `_bwd4_kernel_v3`."""
+    d_table half-planes 2×[rows, 128]) given gg = cot(dL/dx). Same math
+    as the F=2 `_bwd2_kernel_v3` with the packed unpack and half-plane
+    scatter of `_bwd4_kernel_v3` (two 128-wide accumulator refs — Mosaic
+    rejects dynamic-row loads with a column offset on 256-wide memrefs)."""
     from jax.experimental import pallas as pl
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        dtab_ref[:, :] = jnp.zeros_like(dtab_ref)
+        dtab_lo_ref[:, :] = jnp.zeros_like(dtab_lo_ref)
+        dtab_hi_ref[:, :] = jnp.zeros_like(dtab_hi_ref)
 
     L = meta.n_levels
     nblk = tile // block
@@ -597,11 +608,11 @@ def _bwd24_kernel_v3(meta: BrickMeta, tile: int, block: int,
     def scatter_level(sbuf, base, l):
         for k in range(block):
             r = rows_ref[l, base + k]
-            dtab_ref[pl.ds(r, 1), 0:LANES] = \
-                dtab_ref[pl.ds(r, 1), 0:LANES] + \
+            dtab_lo_ref[pl.ds(r, 1), :] = \
+                dtab_lo_ref[pl.ds(r, 1), :] + \
                 sbuf[pl.ds(l * (2 * block) + k, 1), :]
-            dtab_ref[pl.ds(r, 1), LANES:2 * LANES] = \
-                dtab_ref[pl.ds(r, 1), LANES:2 * LANES] + \
+            dtab_hi_ref[pl.ds(r, 1), :] = \
+                dtab_hi_ref[pl.ds(r, 1), :] + \
                 sbuf[pl.ds(l * (2 * block) + block + k, 1), :]
 
     def process(gbuf, sbuf, base, next_base, prev_base, prev_sbuf):
@@ -784,7 +795,7 @@ def _brick4_bwd2_pallas(g_up: Array, x: Array, table_unpacked: Array,
     aux = jnp.asarray(_aux_patterns4(meta), jnp.float32)
     block = _FWD_BLOCK if tile % (2 * _FWD_BLOCK) == 0 else tile // 2
     kernel = functools.partial(_bwd24_kernel_v3, meta, tile, block)
-    dgup, dtab_hp, dx = pl.pallas_call(
+    dgup, dtab_lo, dtab_hi, dx = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
         in_specs=[
@@ -800,13 +811,16 @@ def _brick4_bwd2_pallas(g_up: Array, x: Array, table_unpacked: Array,
         ],
         out_specs=(
             pl.BlockSpec((tile, 4 * L), lambda i: (i, 0)),
-            pl.BlockSpec((table.shape[0], 2 * LANES), lambda i: (0, 0),
+            pl.BlockSpec((table.shape[0], LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((table.shape[0], LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 3), lambda i: (i, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, 4 * L), jnp.float32),
-            jax.ShapeDtypeStruct((table.shape[0], 2 * LANES), jnp.float32),
+            jax.ShapeDtypeStruct((table.shape[0], LANES), jnp.float32),
+            jax.ShapeDtypeStruct((table.shape[0], LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((L * block, LANES), jnp.float32)
@@ -817,6 +831,7 @@ def _brick4_bwd2_pallas(g_up: Array, x: Array, table_unpacked: Array,
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(rows, lane_c, frac_c, table, m_red, aux, g_up, gg)
+    dtab_hp = jnp.concatenate([dtab_lo, dtab_hi], axis=1)
     return dgup[:n], dx[:n], _halfplane_to_natural(dtab_hp)
 
 

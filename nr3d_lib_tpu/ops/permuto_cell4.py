@@ -216,15 +216,19 @@ def _bwd4_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
                     need_dx: bool,
                     rows_ref, lane_ref, bary_ref, gup_ref,
                     sel1_ref, sel2_ref, wmat_ref, table_ref,
-                    dtab_ref, dx_ref, gbuf_a, gbuf_b, sbuf_a, sbuf_b):
+                    dtab_lo_ref, dtab_hi_ref, dx_ref, gbuf_a, gbuf_b,
+                    sbuf_a, sbuf_b):
     """Software-pipelined F=4 backward: dL/dtable into half-planes
-    ([rows, 256], lo|hi), optional dL/dx via the elevation-Jacobian matmul
-    (scheme of permuto_cell `_bwd_full_kernel_v3`)."""
+    (2×[rows, 128], lo and hi as SEPARATE refs — Mosaic rejects
+    dynamic-row loads with a column offset on 256-wide memrefs), optional
+    dL/dx via the elevation-Jacobian matmul (scheme of permuto_cell
+    `_bwd_full_kernel_v3`)."""
     from jax.experimental import pallas as pl
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        dtab_ref[:, :] = jnp.zeros_like(dtab_ref)
+        dtab_lo_ref[:, :] = jnp.zeros_like(dtab_lo_ref)
+        dtab_hi_ref[:, :] = jnp.zeros_like(dtab_hi_ref)
 
     nblk = tile // block
     assert nblk % 2 == 0
@@ -247,11 +251,11 @@ def _bwd4_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
     def scatter_level(sbuf, base, l):
         for kk in range(block):
             r = rows_ref[l, base + kk]
-            dtab_ref[pl.ds(r, 1), 0:LANES] = \
-                dtab_ref[pl.ds(r, 1), 0:LANES] + \
+            dtab_lo_ref[pl.ds(r, 1), :] = \
+                dtab_lo_ref[pl.ds(r, 1), :] + \
                 sbuf[pl.ds(l * (2 * block) + kk, 1), :]
-            dtab_ref[pl.ds(r, 1), LANES:2 * LANES] = \
-                dtab_ref[pl.ds(r, 1), LANES:2 * LANES] + \
+            dtab_hi_ref[pl.ds(r, 1), :] = \
+                dtab_hi_ref[pl.ds(r, 1), :] + \
                 sbuf[pl.ds(l * (2 * block) + block + kk, 1), :]
 
     def process(gbuf, sbuf, base, next_base, prev_base, prev_sbuf):
@@ -436,7 +440,7 @@ def _bwd4_pallas(x: Array, table_unpacked: Array, g_up: Array,
         block = _FWD_BLOCK if tile % (2 * _FWD_BLOCK) == 0 else tile // 2
         kernel = functools.partial(_bwd4_kernel_v3, meta, lc, tile, block,
                                    need_dx)
-        dtab_hp, dx_g = pl.pallas_call(
+        dtab_lo, dtab_hi, dx_g = pl.pallas_call(
             kernel,
             grid=(n_pad // tile,),
             in_specs=[
@@ -451,12 +455,15 @@ def _bwd4_pallas(x: Array, table_unpacked: Array, g_up: Array,
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((g_rows, 2 * LANES), lambda i: (0, 0),
+                pl.BlockSpec((g_rows, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_rows, LANES), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile, d), lambda i: (i, 0)),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((g_rows, 2 * LANES), jnp.float32),
+                jax.ShapeDtypeStruct((g_rows, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((g_rows, LANES), jnp.float32),
                 jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
             ),
             scratch_shapes=[pltpu.VMEM((lc * block, LANES), jnp.float32)
@@ -467,6 +474,7 @@ def _bwd4_pallas(x: Array, table_unpacked: Array, g_up: Array,
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
         )(rows, lane_c, bary_c, gup_g, sel1, sel2, wmat, table_g)
+        dtab_hp = jnp.concatenate([dtab_lo, dtab_hi], axis=1)
         dx_total = dx_total + dx_g
         dtab_total = jax.lax.dynamic_update_slice_in_dim(
             dtab_total,
