@@ -1129,7 +1129,7 @@ def _brick_encode_pallas(x: Array, table: Array, meta: BrickMeta,
                          coherent: bool = False, bidx=None) -> Array:
     n = x.shape[0]
     if n > _MAX_CHUNK:
-        from nr3d_lib_tpu.ops.chunking import scan_chunks
+        from nr3d_lib_tpu.ops.chunking import loop_chunks
 
         per_point = (x,) if bidx is None else (x, bidx)
 
@@ -1139,7 +1139,7 @@ def _brick_encode_pallas(x: Array, table: Array, meta: BrickMeta,
                 rest[0] if rest else None)
             return (out,), ()
 
-        (out,), _ = scan_chunks(body, per_point, n, _MAX_CHUNK)
+        (out,), _ = loop_chunks(body, per_point, n, _MAX_CHUNK)
         return out
     return _brick_encode_pallas_impl(x, table, meta, tile, interpret,
                                      coherent, bidx)

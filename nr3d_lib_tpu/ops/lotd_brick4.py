@@ -379,13 +379,13 @@ def _brick4_fwd_pallas(x: Array, table_unpacked: Array, meta: BrickMeta,
 
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
-        from nr3d_lib_tpu.ops.chunking import scan_chunks
+        from nr3d_lib_tpu.ops.chunking import loop_chunks
 
         def body(xc):
             return (_brick4_fwd_pallas(xc, table_unpacked, meta, tile,
                                        interpret),), ()
 
-        (out,), _ = scan_chunks(body, (x,), n0, _MAX_CHUNK)
+        (out,), _ = loop_chunks(body, (x,), n0, _MAX_CHUNK)
         return out
     table = pack_table4(table_unpacked)
     x, n = _pad_points(x, tile)

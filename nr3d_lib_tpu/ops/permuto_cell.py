@@ -810,12 +810,12 @@ def _encode_pallas(x: Array, table: Array, meta: PermutoCellMeta,
 
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
-        from nr3d_lib_tpu.ops.chunking import scan_chunks
+        from nr3d_lib_tpu.ops.chunking import loop_chunks
 
         def body(xc):
             return (_encode_pallas(xc, table, meta, tile, interpret),), ()
 
-        (out,), _ = scan_chunks(body, (x,), n0, _MAX_CHUNK,
+        (out,), _ = loop_chunks(body, (x,), n0, _MAX_CHUNK,
                                 pad_values=(0.5,))
         return out
     x, n = _pad_points(x, tile)

@@ -350,13 +350,13 @@ def _encode4_pallas(x: Array, table_unpacked: Array, meta: PermutoCellMeta,
 
     n0 = x.shape[0]
     if n0 > _MAX_CHUNK:
-        from nr3d_lib_tpu.ops.chunking import scan_chunks
+        from nr3d_lib_tpu.ops.chunking import loop_chunks
 
         def body(xc):
             return (_encode4_pallas(xc, table_unpacked, meta, tile,
                                     interpret),), ()
 
-        (out,), _ = scan_chunks(body, (x,), n0, _MAX_CHUNK,
+        (out,), _ = loop_chunks(body, (x,), n0, _MAX_CHUNK,
                                 pad_values=(0.5,))
         return out
     table = pack_table4(table_unpacked)
