@@ -22,13 +22,12 @@ run() {
   echo "--- $name exit=$rc" | tee -a "$OUT/summary.log"
 }
 
-run 01_mosaic      1500 python experiments/mosaic_feature_probe.py
-run 02_mxu_gather  3000 python experiments/mxu_gather_probe.py 1024
-run 03_bwd_v3      2400 python experiments/kernel_v3_bwd_probe.py 1024
-run 04_breakdown   3600 python experiments/render_breakdown.py 8192 32768
-run 05_train_nerf  3600 python examples/train_nerf_synthetic.py \
-    --brick --iters 1000 --rays 4096 --out "$OUT/nerf_run"
-run 06_train_neus  5400 python examples/train_neus_object.py \
-    --brick --iters 1000 --rays 2048 --out "$OUT/neus_run"
+run 01_breakdown   3600 python experiments/render_breakdown.py 8192 32768
+run 02_train_nerf  3600 python examples/train_nerf_synthetic.py \
+    --brick --iters 2000 --rays 4096 --out "$OUT/nerf_run"
+run 03_train_neus  5400 python examples/train_neus_object.py \
+    --w4 --iters 2000 --rays 2048 --out "$OUT/neus_run"
+run 04_mxu_gather  3000 python experiments/mxu_gather_probe.py 1024
+run 05_mosaic      1500 python experiments/mosaic_feature_probe.py
 
 echo "ALL DONE — update docs/DESIGN.md §3, README perf tables, PERF doc."
