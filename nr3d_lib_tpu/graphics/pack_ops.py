@@ -464,9 +464,12 @@ def budget_indices(mask: Array, budget: int) -> Tuple[Array, Array]:
     r, s = mask.shape
     rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)           # [R, S]
     target = jnp.arange(1, budget + 1, dtype=jnp.int32)          # [B]
-    hit = (jnp.where(mask, rank, 0)[:, :, None] == target)       # [R, S, B]
+    # [R, B, S] — S stays in the 128-lane dimension (B is typically ~S/4,
+    # so the [R, S, B] orientation ran the compare/reduce at a fraction
+    # of lane width)
+    hit = (jnp.where(mask, rank, 0)[:, None, :] == target[None, :, None])
     k = jnp.arange(s, dtype=jnp.int32)
-    idx = jnp.sum(k[None, :, None] * hit, axis=1, dtype=jnp.int32)
+    idx = jnp.sum(k[None, None, :] * hit, axis=-1, dtype=jnp.int32)
     valid = rank[:, -1:] >= target[None, :]
     return idx, valid
 
