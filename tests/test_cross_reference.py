@@ -64,10 +64,21 @@ def test_knn_vs_torch():
     x = rng.standard_normal((256, 3)).astype(np.float32)
     y = rng.standard_normal((300, 3)).astype(np.float32)
     d_ours, i_ours = knn_points(jnp.asarray(x), jnp.asarray(y), k=3)
+    # Primary oracle: float64 brute force. torch.cdist is NOT a tight oracle
+    # here — for these sizes it takes the ‖x‖²−2x·y+‖y‖² mm path, whose
+    # backend kernel (oneDNN) has env-dependent precision: observed up to
+    # 4.3e-4 off f64 under CPU load, while ours (exact coordinate-difference
+    # refinement) stays within 4e-7. So assert tightly vs f64 and keep torch
+    # as a loose independent cross-check.
+    d64 = ((x[:, None, :].astype(np.float64)
+            - y[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    i64 = np.argsort(d64, axis=1)[:, :3]
+    np.testing.assert_allclose(np.asarray(d_ours),
+                               np.take_along_axis(d64, i64, 1), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_ours), i64)
     d_t, i_t = (torch.cdist(torch.from_numpy(x), torch.from_numpy(y)) ** 2
                 ).topk(3, largest=False)
-    np.testing.assert_allclose(np.asarray(d_ours), d_t.numpy(), atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(i_ours), i_t.numpy())
+    np.testing.assert_allclose(np.asarray(d_ours), d_t.numpy(), atol=2e-3)
 
 
 def test_grid_interp_vs_torch_grid_sample():
