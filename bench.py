@@ -276,6 +276,8 @@ def main():
         render_jobs = [
             ("render_fwd_brick_compressed_krays",
              lambda: br.main(use_brick=True, mode="march_occ_compressed")),
+            ("train_step_neus_compressed_krays",
+             lambda: br.main_train(use_brick=True, kind="neus_compressed")),
             ("train_step_neus_brick_krays",
              lambda: br.main_train(use_brick=True, kind="neus")),
             ("render_fwd_brick4_compressed_krays",

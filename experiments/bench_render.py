@@ -144,18 +144,39 @@ def main_train(use_brick: bool = False, kind: str = "nerf",
             "lod_res": [16, 32, 64, 128], "lod_n_feats": 2,
             "lod_types": ["Dense", "Dense", "Hash", "Hash"],
             "hashmap_size": 2 ** 16}}
-        if kind == "neus_w4":
+        if "w4" in kind:
             # bf16-packed F=4: 2 levels carry the same 8 features
             enc_cfg = {"lotd_cfg": {
                 "lod_res": [16, 64], "lod_n_feats": 4,
                 "lod_types": ["Dense", "Hash"], "hashmap_size": 2 ** 16}}
-        if use_brick or kind == "neus_w4":
+        if use_brick or "w4" in kind:
             enc_cfg["backend"] = "brick"
-        model = LoTDNeuSModel(field_cfg={"surface_cfg": {
+        field_cfg = {"surface_cfg": {
             "encoding_cfg": enc_cfg,
             "decoder_cfg": {"D": 1, "W": 64}},
-            "radiance_cfg": {"D": 2, "W": 64}})
+            "radiance_cfg": {"D": 2, "W": 64}}
+        if "compressed" in kind:
+            # the production StreetSurf training strategy (reference
+            # neus_ray_query.py:732): occ-grid march + upsample, then
+            # budget-compact BEFORE the expensive nablas/radiance query —
+            # the fwd+bwd+2nd-order path touches compression_factor×S
+            # samples instead of S + 3×n_importance.
+            model = LoTDNeuSModel(
+                field_cfg=field_cfg,
+                accel_cfg={"resolution": 64, "max_steps_per_ray": 96,
+                           "step_size": 2.0 / 96},
+                ray_query_cfg={
+                    "query_mode": "march_occ_multi_upsample_compressed",
+                    "compression_factor": 0.25})
+        else:
+            model = LoTDNeuSModel(field_cfg=field_cfg)
     model.populate()
+    if "compressed" in kind:
+        import jax.numpy as _jnp
+
+        occ = jax.random.uniform(
+            jax.random.key(5), model.accel.occ.val_grid[...].shape) < 0.15
+        model.accel.occ.val_grid[...] = occ.astype(_jnp.float32)
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
     opt = optax.adam(5e-3)
     opt_state = opt.init(params)
@@ -175,13 +196,23 @@ def main_train(use_brick: bool = False, kind: str = "nerf",
                 rendered, _ = nerf_ray_query_fixed(
                     m, m.space, rt, n_samples=n_samples, perturb_key=key)
                 return jnp.mean((rendered["rgb_volume"] - rgb_gt) ** 2)
-            rendered, vb = neus_ray_query_coarse_multi_upsample(
-                m, m.space, rt, n_coarse=n_samples, perturb_key=key)
+            if "compressed" in kind:
+                rendered, vb = m.ray_query(rt, key=key)
+            else:
+                rendered, vb = neus_ray_query_coarse_multi_upsample(
+                    m, m.space, rt, n_coarse=n_samples, perturb_key=key)
             loss = jnp.mean((rendered["rgb_volume"] - rgb_gt) ** 2)
             # eikonal on the queried nablas → 2nd-order backward
-            nab = vb["nablas"] if "nablas" in vb else rendered.get(
-                "normals_volume")
-            eik = jnp.mean((jnp.linalg.norm(nab, axis=-1) - 1.0) ** 2)
+            if vb.get("nablas") is not None:
+                nab, w = vb["nablas"], None
+            elif vb.get("nablas_packed") is not None:
+                nab = vb["nablas_packed"]
+                w = (vb["ridx"] < rt["rays_o"].shape[0]).astype(nab.dtype)
+            else:
+                nab, w = rendered["normals_volume"], None
+            err = (jnp.linalg.norm(nab, axis=-1) - 1.0) ** 2
+            eik = (jnp.mean(err) if w is None
+                   else jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1.0))
             return loss + 0.1 * eik
 
         loss, g = jax.value_and_grad(loss_fn)(params)

@@ -42,10 +42,19 @@ def _upsample_rounds(sdf_fn, o_n, d_n, t, valid, far, inv_s_base,
     upsample round's samples inside each train step (measured 350 ms/step
     → see bench train_step_neus_brick_krays)."""
     r = t.shape[0]
+
+    def sort_tv(t_, valid_):
+        # lax.sort with `valid` as payload — argsort + take_along_axis
+        # would scalarize the lane gathers on TPU (same pathology as the
+        # budget compaction; see pack_ops.dense_to_budgeted)
+        key = jnp.where(valid_, t_, jnp.inf)
+        key_s, v_s = jax.lax.sort((key, valid_.astype(jnp.int32)),
+                                  num_keys=1, is_stable=True)
+        v_s = v_s.astype(bool)
+        return jnp.where(v_s, key_s, far[:, None]), v_s
+
     for round_i, factor in enumerate(upsample_inv_s_factors):
-        order = jnp.argsort(jnp.where(valid, t, jnp.inf), axis=-1)
-        t_sorted = jnp.take_along_axis(jnp.where(valid, t, far[:, None]), order, -1)
-        v_sorted = jnp.take_along_axis(valid, order, -1)
+        t_sorted, v_sorted = sort_tv(t, valid)
         x = o_n[:, None, :] + d_n[:, None, :] * t_sorted[..., None]
         s = t_sorted.shape[1]
         sdf = sdf_fn(x.reshape(r * s, 3)).reshape(r, s)
@@ -59,9 +68,7 @@ def _upsample_rounds(sdf_fn, o_n, d_n, t, valid, far, inv_s_base,
         t_new = batch_sample_pdf(t_sorted, w, n_importance, key_i)  # [R,n_imp]
         t = jnp.concatenate([t_sorted, t_new], -1)
         valid = jnp.concatenate([v_sorted, jnp.ones_like(t_new, bool)], -1)
-    order = jnp.argsort(jnp.where(valid, t, jnp.inf), axis=-1)
-    t = jnp.take_along_axis(jnp.where(valid, t, far[:, None]), order, -1)
-    valid = jnp.take_along_axis(valid, order, -1)
+    t, valid = sort_tv(t, valid)
     return jax.lax.stop_gradient(t), valid
 
 

@@ -27,6 +27,7 @@ from typing import Dict, NamedTuple, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     # pack_infos constructors (reference: pack_ops.py:731-744)
@@ -461,28 +462,56 @@ def budget_indices(mask: Array, budget: int) -> Tuple[Array, Array]:
     ms → per-row argsort ≈ 6 ms → this form ≪1 ms. Use with
     `take_along_axis` to budget-compact any per-sample array while keeping
     [R, B] shape (order within a row is preserved)."""
-    r, s = mask.shape
+    hit, valid = _budget_onehot(mask, budget)
+    k = jnp.arange(mask.shape[1], dtype=jnp.int32)
+    idx = jnp.sum(k[None, None, :] * hit, axis=-1, dtype=jnp.int32)
+    return idx, valid
+
+
+def _budget_onehot(mask: Array, budget: int) -> Tuple[Array, Array]:
+    """[R, B, S] one-hot selection tensor + [R, B] valid for row-local
+    budget compaction: hit[r, j, k] = 1 iff column k holds row r's (j+1)-th
+    True entry."""
     rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)           # [R, S]
     target = jnp.arange(1, budget + 1, dtype=jnp.int32)          # [B]
     # [R, B, S] — S stays in the 128-lane dimension (B is typically ~S/4,
     # so the [R, S, B] orientation ran the compare/reduce at a fraction
     # of lane width)
     hit = (jnp.where(mask, rank, 0)[:, None, :] == target[None, :, None])
-    k = jnp.arange(s, dtype=jnp.int32)
-    idx = jnp.sum(k[None, None, :] * hit, axis=-1, dtype=jnp.int32)
     valid = rank[:, -1:] >= target[None, :]
-    return idx, valid
+    return hit, valid
 
 
 def dense_to_budgeted(arrays: Sequence[Array], mask: Array, budget: int
                       ) -> Tuple[Tuple[Array, ...], Array]:
     """Budget-compact several [R, S, ...] arrays row-locally → [R, B, ...]
-    (+ valid [R, B]). See `budget_indices`."""
-    idx, valid = budget_indices(mask, budget)
+    (+ valid [R, B]). See `budget_indices`.
+
+    The extraction itself is a one-hot contraction (MXU / full-lane VPU),
+    NOT take_along_axis: the [R,S]→[R,B] lane gather scalarizes on TPU
+    (measured 8.4 ms for 2×786k extractions inside the compressed NeRF
+    query vs ~1 ms for the einsum form). Exactness: each output is a dot
+    with a single 1.0 coefficient; HIGHEST precision keeps f32 values
+    bit-clean through the MXU. Slots past a row's population count come
+    back 0 (not a trailing-position copy) with valid=False — all callers
+    mask on `valid`."""
+    hit, valid = _budget_onehot(mask, budget)
+    h = hit.astype(jnp.float32)
     outs = []
     for a in arrays:
-        ix = idx.reshape(idx.shape + (1,) * (a.ndim - 2))
-        outs.append(jnp.take_along_axis(a, ix, axis=1))
+        if a.ndim == 2:
+            o = jnp.einsum("rbs,rs->rb", h, a.astype(jnp.float32),
+                           precision=jax.lax.Precision.HIGHEST)
+        else:
+            f = int(np.prod(a.shape[2:]))
+            o = jnp.einsum("rbs,rsf->rbf", h,
+                           a.reshape(a.shape[0], a.shape[1], f)
+                           .astype(jnp.float32),
+                           precision=jax.lax.Precision.HIGHEST)
+            o = o.reshape(a.shape[0], budget, *a.shape[2:])
+        if jnp.issubdtype(a.dtype, jnp.integer) or a.dtype == jnp.bool_:
+            o = jnp.round(o)
+        outs.append(o.astype(a.dtype))
     return tuple(outs), valid
 
 

@@ -245,3 +245,42 @@ def test_jit_and_vmap_compat(rng):
     f = jax.jit(lambda v: po.packed_sum(v, ridx, n_packs))
     np.testing.assert_allclose(np.asarray(f(vals)),
                                np.asarray(po.packed_sum(vals, ridx, n_packs)), rtol=1e-6)
+
+
+def test_dense_to_budgeted_oracle(rng):
+    """Row-local budget compaction vs a per-row numpy oracle: values of the
+    first B True columns, in order; slots past the population come back
+    with valid=False (values are unspecified there — callers mask)."""
+    r, s, b = 13, 37, 9
+    mask = np.asarray(rng.random((r, s)) < 0.3)
+    mask[3] = False                      # an empty row
+    mask[4] = True                       # a saturated row
+    t = rng.standard_normal((r, s)).astype(np.float32) * 100.0
+    h = rng.standard_normal((r, s, 5)).astype(np.float32)
+    ii = rng.integers(0, 1 << 20, (r, s)).astype(np.int32)
+
+    (t_b, h_b, i_b), valid = po.dense_to_budgeted(
+        [jnp.asarray(t), jnp.asarray(h), jnp.asarray(ii)], jnp.asarray(mask), b)
+    t_b, h_b, i_b, valid = map(np.asarray, (t_b, h_b, i_b, valid))
+
+    assert t_b.shape == (r, b) and h_b.shape == (r, b, 5) and valid.shape == (r, b)
+    assert i_b.dtype == np.int32
+    for rr in range(r):
+        cols = np.flatnonzero(mask[rr])[:b]
+        n = len(cols)
+        np.testing.assert_array_equal(valid[rr], np.arange(b) < n)
+        # f32 values pass through the one-hot contraction bit-exactly
+        np.testing.assert_array_equal(t_b[rr, :n], t[rr, cols])
+        np.testing.assert_array_equal(h_b[rr, :n], h[rr, cols])
+        np.testing.assert_array_equal(i_b[rr, :n], ii[rr, cols])
+
+
+def test_budget_indices_matches_budgeted(rng):
+    mask = np.asarray(rng.random((7, 24)) < 0.4)
+    t = rng.standard_normal((7, 24)).astype(np.float32)
+    idx, valid = po.budget_indices(jnp.asarray(mask), 6)
+    (t_b,), valid2 = po.dense_to_budgeted([jnp.asarray(t)], jnp.asarray(mask), 6)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid2))
+    gathered = np.take_along_axis(t, np.asarray(idx), axis=1)
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(np.asarray(t_b)[v], gathered[v])
