@@ -37,11 +37,18 @@ def neus_ray_query_march_occ_multi_upsample_compressed(
         upsample_inv_s_factors: Sequence[float] = (1.0, 4.0, 16.0),
         n_importance: int = 32, upsample_inv_s: float = 64.0,
         compression_factor: float = 0.25, early_stop_eps: float = 1e-4,
+        march_budget_factor: float = 0.5,
         perturb_key=None, with_rgb: bool = True
         ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """March + upsample, then COMPACT to the surviving samples before the
     RGB/nablas query (reference :732). The packed radiance query touches
-    ~compression_factor × fewer samples."""
+    ~compression_factor × fewer samples.
+
+    The marched slab is ALSO budget-compacted before the upsample loop
+    (march_budget_factor × S_max slots): the reference's packed marcher
+    emits only occupied samples, so its upsample rounds never see empty
+    slots — this is the dense-slab equivalent. Every upsample round's SDF
+    query and merge-sort shrinks accordingly."""
     rays_o, rays_d = ray_tested["rays_o"], ray_tested["rays_d"]
     near, far, ray_mask = ray_tested["near"], ray_tested["far"], ray_tested["mask"]
     o_n, d_n = space.normalize_rays(rays_o, rays_d)
@@ -52,6 +59,10 @@ def neus_ray_query_march_occ_multi_upsample_compressed(
 
     def sdf_fn(x):
         return model.forward_sdf(x)["sdf"]
+
+    if march_budget_factor < 1.0:
+        b0 = max(int(t.shape[1] * march_budget_factor), 1)
+        (t,), smask = po.dense_to_budgeted([t], smask, b0)
 
     t, valid = _upsample_rounds(sdf_fn, o_n, d_n, t, smask, far,
                                 upsample_inv_s, upsample_inv_s_factors,

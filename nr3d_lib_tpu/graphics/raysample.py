@@ -88,13 +88,26 @@ def batch_sample_cdf(bins: Array, cdfs: Array, n_samples: int,
     else:
         u = jax.random.uniform(perturb_key, (r, n_samples), bins.dtype,
                                minval=eps, maxval=1.0 - eps)
-    hi = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdfs, u)
-    hi = jnp.clip(hi, 1, bins.shape[-1] - 1)
+    # TPU layout: B lives in the 128-lane dim, so searchsorted(right) is a
+    # full-lane count of cdf <= u, and the bracketing (cdf, bin) pairs come
+    # out of one-hot einsums — a vmapped binary search + take_along_axis
+    # here scalarizes into per-element gathers (same pathology as
+    # pack_ops.dense_to_budgeted; this runs every NeuS upsample round).
+    nb = bins.shape[-1]
+    cnt = jnp.sum((cdfs[:, None, :] <= u[:, :, None]).astype(jnp.int32),
+                  axis=-1)                                    # [R, I]
+    hi = jnp.clip(cnt, 1, nb - 1)
     lo = hi - 1
-    c0 = jnp.take_along_axis(cdfs, lo, -1)
-    c1 = jnp.take_along_axis(cdfs, hi, -1)
-    b0 = jnp.take_along_axis(bins, lo, -1)
-    b1 = jnp.take_along_axis(bins, hi, -1)
+    b_iota = jnp.arange(nb, dtype=jnp.int32)[None, None, :]
+    oh_lo = (b_iota == lo[:, :, None]).astype(jnp.float32)    # [R, I, B]
+    oh_hi = (b_iota == hi[:, :, None]).astype(jnp.float32)
+    stacked = jnp.stack([cdfs, bins], axis=-1).astype(jnp.float32)  # [R,B,2]
+    v0 = jnp.einsum("rib,rbk->rik", oh_lo, stacked,
+                    precision=jax.lax.Precision.HIGHEST)
+    v1 = jnp.einsum("rib,rbk->rik", oh_hi, stacked,
+                    precision=jax.lax.Precision.HIGHEST)
+    c0, b0 = v0[..., 0].astype(bins.dtype), v0[..., 1].astype(bins.dtype)
+    c1, b1 = v1[..., 0].astype(bins.dtype), v1[..., 1].astype(bins.dtype)
     denom = jnp.where(c1 - c0 < eps, 1.0, c1 - c0)
     frac = jnp.clip((u - c0) / denom, 0.0, 1.0)
     return b0 + frac * (b1 - b0)

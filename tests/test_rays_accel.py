@@ -195,3 +195,28 @@ def test_occgrid_accel_wrapper(rng):
     assert len(x_hit) > 0 and (np.abs(x_hit) < 0.6).all()
     stats = accel.debug_stats()
     assert 0 < stats["occ_ratio"] < 0.2
+
+
+def test_batch_sample_cdf_searchsorted_oracle(rng):
+    """The lane-count + one-hot-einsum inverse CDF matches a numpy
+    searchsorted(side='right') oracle bin-for-bin."""
+    from nr3d_lib_tpu.graphics.raysample import batch_sample_pdf
+
+    r, b, i = 11, 29, 13
+    bins = np.sort(rng.random((r, b)).astype(np.float32), axis=-1)
+    w = rng.random((r, b - 1)).astype(np.float32)
+    w[2] = 0.0                                     # degenerate row
+    pdf = (w + 1e-5) / (w + 1e-5).sum(-1, keepdims=True)
+    cdf = np.concatenate([np.zeros((r, 1), np.float32),
+                          np.cumsum(pdf, -1)], -1)
+    u = np.linspace(0.5 / i, 1 - 0.5 / i, i, dtype=np.float32)
+    t = np.asarray(batch_sample_pdf(jnp.asarray(bins), jnp.asarray(w), i))
+    for rr in range(r):
+        hi = np.clip(np.searchsorted(cdf[rr], u, side="right"), 1, b - 1)
+        lo = hi - 1
+        c0, c1 = cdf[rr][lo], cdf[rr][hi]
+        b0, b1 = bins[rr][lo], bins[rr][hi]
+        den = np.where(c1 - c0 < 1e-8, 1.0, c1 - c0)
+        frac = np.clip((u - c0) / den, 0, 1)
+        np.testing.assert_allclose(t[rr], b0 + frac * (b1 - b0),
+                                   rtol=1e-5, atol=1e-6)
