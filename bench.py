@@ -285,8 +285,9 @@ def main():
                              w4=True)),
             ("train_step_nerf_brick_krays",
              lambda: br.main_train(use_brick=True, kind="nerf")),
-            ("train_step_neus_w4_krays",
-             lambda: br.main_train(use_brick=True, kind="neus_w4")),
+            ("train_step_neus_compressed_w4_krays",
+             lambda: br.main_train(use_brick=True,
+                                   kind="neus_compressed_w4")),
         ]
         for key_, job in render_jobs:
             if over_budget(key_):
