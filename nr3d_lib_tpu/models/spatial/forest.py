@@ -30,6 +30,14 @@ __all__ = ["ForestBlockSpace"]
 Array = jax.Array
 
 
+def _topk_by_key(key: Array, payloads, k: int):
+    """k smallest-key entries per row with their payloads, via lax.sort —
+    argsort + take_along_axis scalarizes the lane gathers on TPU (see
+    pack_ops.dense_to_budgeted)."""
+    sorted_ = jax.lax.sort((key, *payloads), num_keys=1, is_stable=True)
+    return tuple(p[:, :k] for p in sorted_[1:])
+
+
 class ForestBlockSpace(nnx.Module):
     def __init__(self, *, level: int = 4, origin=(-1.0, -1.0, -1.0),
                  block_size: float = 0.5, resolution: Optional[Sequence[int]] = None,
@@ -283,10 +291,13 @@ class ForestBlockSpace(nnx.Module):
             s_hit = (jnp.maximum(ts_in, t_lo[:, None])
                      < jnp.minimum(ts_out, t_hi[:, None]))
             kT = min(kc, ts_in.shape[1])
-            order0 = jnp.argsort(jnp.where(s_hit, ts_in, jnp.inf),
-                                 axis=1)[:, :kT]                    # [R,K]
-            kept_idx = order0
-            kept_valid = jnp.take_along_axis(s_hit, order0, axis=1)
+            iota = jnp.broadcast_to(
+                jnp.arange(ts_in.shape[1], dtype=jnp.int32)[None],
+                ts_in.shape)
+            kept_idx, kept_valid = _topk_by_key(
+                jnp.where(s_hit, ts_in, jnp.inf),
+                (iota, s_hit.astype(jnp.int32)), kT)                # [R,K]
+            kept_valid = kept_valid.astype(bool)
 
             # descend: expand children of the K nearest hits per level
             for i in range(T, 0, -1):
@@ -308,10 +319,10 @@ class ForestBlockSpace(nnx.Module):
                 if i - 1 == 0:
                     bidx_cand = cand
                     break
-                korder = jnp.argsort(jnp.where(valid, t_in, jnp.inf),
-                                     axis=1)[:, :kc]
-                kept_idx = jnp.take_along_axis(safe, korder, axis=1)
-                kept_valid = jnp.take_along_axis(valid, korder, axis=1)
+                kept_idx, kept_valid = _topk_by_key(
+                    jnp.where(valid, t_in, jnp.inf),
+                    (safe, valid.astype(jnp.int32)), kc)
+                kept_valid = kept_valid.astype(bool)
         else:
             t_in, t_out = self._slab(blk_lo, blk_lo + self.block_size,
                                      rays_o, rays_d)               # [R,B]
@@ -324,14 +335,11 @@ class ForestBlockSpace(nnx.Module):
         hit = valid & (t_in < t_out)
 
         k = min(int(max_segments), t_in.shape[1])
-        key_sort = jnp.where(hit, t_in, jnp.inf)
-        order = jnp.argsort(key_sort, axis=1)[:, :k]               # [R,K]
-        seg_t_in = jnp.take_along_axis(t_in, order, axis=1)
-        seg_t_out = jnp.take_along_axis(t_out, order, axis=1)
-        seg_mask = jnp.take_along_axis(hit, order, axis=1)
-        seg_bidx = jnp.where(seg_mask,
-                             jnp.take_along_axis(bidx_cand, order, axis=1),
-                             -1)
+        seg_t_in, seg_t_out, seg_mask, seg_bidx = _topk_by_key(
+            jnp.where(hit, t_in, jnp.inf),
+            (t_in, t_out, hit.astype(jnp.int32), bidx_cand), k)
+        seg_mask = seg_mask.astype(bool)
+        seg_bidx = jnp.where(seg_mask, seg_bidx, -1)
         n_segs = jnp.sum(seg_mask.astype(jnp.int32), axis=1)
         ray_near = jnp.where(seg_mask[:, 0], seg_t_in[:, 0], t_lo)
         last = jnp.max(jnp.where(seg_mask, seg_t_out, -jnp.inf), axis=1)
