@@ -124,11 +124,17 @@ def main():
 
     key = jax.random.key(0)
     t0 = time.time()
+    # lifecycle gated on the occ-update interval: per-step nnx
+    # merge/split is pure-python graph traversal that dominated
+    # tunneled-chip wall-clock (see train_neus_object.py)
+    lifecycle_every = getattr(getattr(model, 'accel', None),
+                              'update_every', 16) or 16
     for it in range(args.iters):
         key, k1, k2 = jax.random.split(key, 3)
-        m2 = nnx.merge(graphdef, params, rest)
-        m2.training_before_per_step(it)
-        _, _, rest = nnx.split(m2, nnx.Param, ...)
+        if it % lifecycle_every == 0:
+            m2 = nnx.merge(graphdef, params, rest)
+            m2.training_before_per_step(it)
+            _, _, rest = nnx.split(m2, nnx.Param, ...)
         o, d, bidx, ts = sample_rays(args.rays, k1)
         params, opt_state, loss, rgb_l = train_step(
             params, rest, opt_state, o, d, bidx, ts,

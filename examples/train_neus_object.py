@@ -138,12 +138,20 @@ def main():
 
     key = jax.random.key(0)
     t0 = time.time()
+    lifecycle_every = model.accel.update_every
     for it in range(args.iters):
         key, k1, k2 = jax.random.split(key, 3)
-        # occupancy EMA update from the live SDF (training lifecycle)
-        m2 = nnx.merge(graphdef, params, rest)
-        m2.training_before_per_step(it, jax.random.key(7000 + it))
-        _, _, rest = nnx.split(m2, nnx.Param, ...)
+        # occupancy EMA update from the live SDF (training lifecycle).
+        # Gated on the accel's own update interval: the merge/split round
+        # trip is pure-python nnx graph traversal (~0.5 s/step measured on
+        # the tunneled chip — it dominated wall-clock when run per step),
+        # and accel.step is a no-op off-interval anyway; the anneal /
+        # variance iters advance in steps of `lifecycle_every`, which is
+        # ≪ their schedules' spans.
+        if it % lifecycle_every == 0:
+            m2 = nnx.merge(graphdef, params, rest)
+            m2.training_before_per_step(it, jax.random.key(7000 + it))
+            _, _, rest = nnx.split(m2, nnx.Param, ...)
         o, d = sample_rays(args.rays, k1)
         params, opt_state, loss, rgb_l = train_step(
             params, rest, opt_state, o, d, trace_gt(o, d), k2)
