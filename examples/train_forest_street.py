@@ -135,8 +135,10 @@ def main():
     # lifecycle gated on the occ-update interval: per-step nnx
     # merge/split is pure-python graph traversal that dominated
     # tunneled-chip wall-clock (see train_neus_object.py)
-    lifecycle_every = getattr(getattr(model, 'accel', None),
-                              'update_every', 16) or 16
+    # derived from the model, not hardcoded; every-step when any
+    # schedule (anneal / scheduled inv_s) would be coarsened by gating
+    lifecycle_every = 1 if model.has_stepwise_schedules() \
+        else model.lifecycle_update_every
     for it in range(args.iters):
         key, k1, k2 = jax.random.split(key, 3)
         if it % lifecycle_every == 0:

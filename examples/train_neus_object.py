@@ -138,7 +138,10 @@ def main():
 
     key = jax.random.key(0)
     t0 = time.time()
-    lifecycle_every = model.accel.update_every
+    # derived from the model, not hardcoded; every-step when any schedule
+    # (anneal / scheduled inv_s) would be coarsened by gating
+    lifecycle_every = 1 if model.has_stepwise_schedules() \
+        else model.lifecycle_update_every
     for it in range(args.iters):
         key, k1, k2 = jax.random.split(key, 3)
         # occupancy EMA update from the live SDF (training lifecycle).

@@ -167,7 +167,12 @@ def main_train(use_brick: bool = False, kind: str = "nerf",
                            "step_size": 2.0 / 96},
                 ray_query_cfg={
                     "query_mode": "march_occ_multi_upsample_compressed",
-                    "compression_factor": 0.25})
+                    "compression_factor": 0.25,
+                    # safe HERE because the bench seeds 15% occupancy below
+                    # (per-ray occupied count ≪ 0.5×S); the library default
+                    # is 1.0 — budgeting truncates far-first when a ray's
+                    # occupancy exceeds the budget
+                    "march_budget_factor": 0.5})
         else:
             model = LoTDNeuSModel(field_cfg=field_cfg)
     model.populate()

@@ -89,6 +89,14 @@ def nerf_ray_query_march_occ_compressed(
     lane gather) — a global sort/scatter compaction measured 6–7.5 ms per
     786k samples on v5e and erased the savings; the row form is ≪1 ms.
     Each ray drops its own tail beyond the budget rather than whole rays.
+
+    Truncation semantics (vs the reference's dynamically-sized packed
+    buffers, which keep ALL occupied samples): a ray whose occupied count
+    exceeds ``compression_factor × S`` is truncated FAR-FIRST — its nearest
+    budget samples survive. Size ``compression_factor`` to the scene's
+    per-ray occupancy; with a fresh fully-occupied grid this mode
+    under-samples the far field (use plain ``march_occ`` until the grid has
+    pruned, as the examples do).
     """
     rays_o, rays_d = ray_tested["rays_o"], ray_tested["rays_d"]
     near, far, ray_mask = ray_tested["near"], ray_tested["far"], ray_tested["mask"]

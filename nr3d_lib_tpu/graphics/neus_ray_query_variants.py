@@ -37,18 +37,24 @@ def neus_ray_query_march_occ_multi_upsample_compressed(
         upsample_inv_s_factors: Sequence[float] = (1.0, 4.0, 16.0),
         n_importance: int = 32, upsample_inv_s: float = 64.0,
         compression_factor: float = 0.25, early_stop_eps: float = 1e-4,
-        march_budget_factor: float = 0.5,
+        march_budget_factor: float = 1.0,
         perturb_key=None, with_rgb: bool = True
         ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
     """March + upsample, then COMPACT to the surviving samples before the
     RGB/nablas query (reference :732). The packed radiance query touches
     ~compression_factor × fewer samples.
 
-    The marched slab is ALSO budget-compacted before the upsample loop
-    (march_budget_factor × S_max slots): the reference's packed marcher
-    emits only occupied samples, so its upsample rounds never see empty
-    slots — this is the dense-slab equivalent. Every upsample round's SDF
-    query and merge-sort shrinks accordingly."""
+    ``march_budget_factor`` (OPT-IN, default 1.0 = off) additionally
+    budget-compacts the marched slab to ``factor × S_max`` slots per ray
+    BEFORE the upsample loop, shrinking every upsample round's SDF query
+    and merge-sort. Unlike the reference's packed marcher (which keeps ALL
+    occupied samples, dynamically sized), a ray whose occupied-sample count
+    exceeds the budget is truncated FAR-FIRST: the nearest ``budget``
+    occupied samples survive, everything beyond gets no samples and no
+    gradient. Only set < 1.0 when the occupancy grid is known to be sparse
+    enough (e.g. converged object scenes; per-ray occupancy ≲ factor) —
+    with a freshly-initialized (fully-occupied) grid this would silently
+    drop the far half of every ray and bias early training."""
     rays_o, rays_d = ray_tested["rays_o"], ray_tested["rays_d"]
     near, far, ray_mask = ray_tested["near"], ray_tested["far"], ray_tested["mask"]
     o_n, d_n = space.normalize_rays(rays_o, rays_d)

@@ -452,7 +452,9 @@ def dense_to_packed(dense: Array, mask: Array, capacity: Optional[int] = None
 
 def budget_indices(mask: Array, budget: int) -> Tuple[Array, Array]:
     """Per-row compaction indices: for each row, the positions of its first
-    `budget` True entries (in order), padded with trailing positions.
+    `budget` True entries (in order). Slots past a row's population count
+    come back as idx 0 with valid=False (the all-zero one-hot row sums to
+    0) — callers MUST mask on `valid`, never consume idx where it is False.
 
     mask [R, S] → (idx [R, B] int32, valid [R, B] bool). The TPU-fast
     compaction primitive, fully vectorized and branch-free: per-row rank =
@@ -490,28 +492,42 @@ def dense_to_budgeted(arrays: Sequence[Array], mask: Array, budget: int
     The extraction itself is a one-hot contraction (MXU / full-lane VPU),
     NOT take_along_axis: the [R,S]→[R,B] lane gather scalarizes on TPU
     (measured 8.4 ms for 2×786k extractions inside the compressed NeRF
-    query vs ~1 ms for the einsum form). Exactness: each output is a dot
-    with a single 1.0 coefficient; HIGHEST precision keeps f32 values
-    bit-clean through the MXU. Slots past a row's population count come
+    query vs ~1 ms for the einsum form). Exactness: each f32 output is a
+    dot with a single 1.0 coefficient; HIGHEST precision keeps f32 values
+    bit-clean through the MXU. Integer arrays are contracted as two 16-bit
+    halves of their 32-bit pattern (each half < 2^16, exactly representable
+    in f32) and recombined — exact for the FULL int32 range, signed
+    included, not just |v| < 2^24. Slots past a row's population count come
     back 0 (not a trailing-position copy) with valid=False — all callers
     mask on `valid`."""
     hit, valid = _budget_onehot(mask, budget)
     h = hit.astype(jnp.float32)
+
+    def contract(flt):                       # [R,S(,F)] f32 → [R,B(,F)]
+        if flt.ndim == 2:
+            return jnp.einsum("rbs,rs->rb", h, flt,
+                              precision=jax.lax.Precision.HIGHEST)
+        f = int(np.prod(flt.shape[2:]))
+        o = jnp.einsum("rbs,rsf->rbf", h,
+                       flt.reshape(flt.shape[0], flt.shape[1], f),
+                       precision=jax.lax.Precision.HIGHEST)
+        return o.reshape(flt.shape[0], budget, *flt.shape[2:])
+
     outs = []
     for a in arrays:
-        if a.ndim == 2:
-            o = jnp.einsum("rbs,rs->rb", h, a.astype(jnp.float32),
-                           precision=jax.lax.Precision.HIGHEST)
+        if a.dtype == jnp.bool_:
+            outs.append(contract(a.astype(jnp.float32)) > 0.5)
+        elif jnp.issubdtype(a.dtype, jnp.integer):
+            # two exact 16-bit-half contractions over the uint32 pattern
+            # (a single f32 contraction corrupts |v| >= 2^24)
+            u = a.astype(jnp.uint32)
+            lo = contract((u & jnp.uint32(0xFFFF)).astype(jnp.float32))
+            hi = contract((u >> jnp.uint32(16)).astype(jnp.float32))
+            v = (jnp.round(hi).astype(jnp.uint32) << jnp.uint32(16)) \
+                | jnp.round(lo).astype(jnp.uint32)
+            outs.append(v.astype(a.dtype))
         else:
-            f = int(np.prod(a.shape[2:]))
-            o = jnp.einsum("rbs,rsf->rbf", h,
-                           a.reshape(a.shape[0], a.shape[1], f)
-                           .astype(jnp.float32),
-                           precision=jax.lax.Precision.HIGHEST)
-            o = o.reshape(a.shape[0], budget, *a.shape[2:])
-        if jnp.issubdtype(a.dtype, jnp.integer) or a.dtype == jnp.bool_:
-            o = jnp.round(o)
-        outs.append(o.astype(a.dtype))
+            outs.append(contract(a.astype(jnp.float32)).astype(a.dtype))
     return tuple(outs), valid
 
 

@@ -17,6 +17,7 @@ from flax import nnx
 
 from nr3d_lib_tpu.graphics.nerf import ray_alpha_to_vw, tau_to_alpha
 from nr3d_lib_tpu.models.blocks import MLP
+from nr3d_lib_tpu.models.model_base import ModelMixin
 from nr3d_lib_tpu.models.embedders import get_embedder
 from nr3d_lib_tpu.models.fields.nerf import RadianceNet, trunc_exp
 
@@ -105,7 +106,7 @@ def ray_sphere_exit_t(rays_o: Array, rays_d: Array, r) -> Tuple[Array, Array]:
     return t, (disc > 0) & (t > 0)
 
 
-class NeRFDistantModel(nnx.Module):
+class NeRFDistantModel(nnx.Module, ModelMixin):
     """Renderable distant-background model (reference:
     NeRFRendererMixinDistant renderer_mixin.py:87-383): shell-based marching
     between radius_scale_min and radius_scale_max around the inner scene

@@ -25,6 +25,7 @@ from flax import nnx
 from nr3d_lib_tpu.graphics.nerf import ray_alpha_to_vw
 from nr3d_lib_tpu.graphics.neus import neus_ray_sdf_to_alpha
 from nr3d_lib_tpu.models.blocks import MLP
+from nr3d_lib_tpu.models.model_base import ModelMixin
 from nr3d_lib_tpu.models.fields.nerf import RadianceNet, trunc_exp
 from nr3d_lib_tpu.models.fields.neus import get_neus_var_ctrl
 from nr3d_lib_tpu.models.spatial.forest import ForestBlockSpace
@@ -239,7 +240,7 @@ class LoTDForestNeRF(nnx.Module):
         return {"sigma": sigma, "h": h[..., 1:]}
 
 
-class LoTDForestNeuSModel(nnx.Module):
+class LoTDForestNeuSModel(nnx.Module, ModelMixin):
     """Renderable forest NeuS (reference: NeuSRendererMixinForest,
     fields_forest/neus/renderer_mixin.py:133/274/734).
 

@@ -49,6 +49,38 @@ class ModelMixin:
     def training_after_per_step(self, it: int, key=None):
         pass
 
+    @property
+    def lifecycle_update_every(self) -> int:
+        """Interval at which the EXPENSIVE lifecycle work (occ-grid EMA
+        merge/split round trip) actually does anything — the accel's own
+        update interval. Trainers that gate `training_before_per_step` to
+        an interval must derive it from here, never hardcode one."""
+        return int(getattr(self.accel, "update_every", 1) or 1)
+
+    def has_stepwise_schedules(self) -> bool:
+        """True if any configured schedule advances per iteration (an
+        encoding anneal window or a scheduled inv_s — anything carrying an
+        `annealer`). When True, a trainer that gates
+        `training_before_per_step` to `lifecycle_update_every` coarsens the
+        schedule to interval-sized jumps; run the per-step setters every
+        step instead (they are cheap python; the merge/split cost is the
+        occ update's, which stays gated because `accel.step` is a no-op
+        off-interval)."""
+        seen, stack = set(), [self]
+        while stack:
+            m = stack.pop()
+            if id(m) in seen:
+                continue
+            seen.add(id(m))
+            if getattr(m, "annealer", None) is not None:
+                return True
+            for v in vars(m).values():
+                if isinstance(v, nnx.Module):
+                    stack.append(v)
+                elif isinstance(v, (list, tuple)):
+                    stack.extend(x for x in v if isinstance(x, nnx.Module))
+        return False
+
     def ray_test(self, rays_o: Array, rays_d: Array, near=None, far=None) -> Dict:
         return self.space.ray_test(rays_o, rays_d, near=near, far=far)
 

@@ -284,3 +284,23 @@ def test_budget_indices_matches_budgeted(rng):
     gathered = np.take_along_axis(t, np.asarray(idx), axis=1)
     v = np.asarray(valid)
     np.testing.assert_array_equal(np.asarray(t_b)[v], gathered[v])
+
+
+def test_dense_to_budgeted_int32_full_range(rng):
+    """Integer payloads survive the one-hot contraction EXACTLY across the
+    full int32 range (ADVICE r3: a single f32 einsum corrupts |v| >= 2^24;
+    the 16-bit-half split is exact). Values pinned at the 2^24 boundary and
+    at the int32 extremes."""
+    r, s, b = 6, 40, 12
+    mask = np.asarray(rng.random((r, s)) < 0.5)
+    mask[0] = True
+    ii = rng.integers(-2**31, 2**31 - 1, (r, s)).astype(np.int32)
+    ii[0, :8] = [2**24 - 1, 2**24, 2**24 + 1, -2**24 - 1,
+                 np.iinfo(np.int32).max, np.iinfo(np.int32).min, 0, -1]
+    (i_b,), valid = po.dense_to_budgeted([jnp.asarray(ii)], jnp.asarray(mask), b)
+    i_b, valid = np.asarray(i_b), np.asarray(valid)
+    assert i_b.dtype == np.int32
+    for rr in range(r):
+        cols = np.flatnonzero(mask[rr])[:b]
+        np.testing.assert_array_equal(i_b[rr, :len(cols)], ii[rr, cols])
+        assert (i_b[rr, len(cols):] == 0).all()  # invalid slots zero-filled

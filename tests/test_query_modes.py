@@ -161,3 +161,62 @@ def test_neus_compressed_dispatch():
     rendered, vb = m.ray_query(m.ray_test(o, d), key=jax.random.key(0))
     assert np.isfinite(np.asarray(rendered["rgb_volume"])).all()
     assert "t_packed" in vb
+
+
+def test_neus_compressed_default_keeps_far_occupied():
+    """ADVICE r3 (high): the march-budget compaction must be OPT-IN.
+    A surface in the FAR half of the ray, fully-occupied fresh grid: with
+    the default (march_budget_factor=1.0) it renders; with 0.5 the far half
+    of the marched slab is truncated and the surface vanishes — the old
+    default silently broke early training whenever occupancy > 50%."""
+    from nr3d_lib_tpu.graphics.neus_ray_query_variants import (
+        neus_ray_query_march_occ_multi_upsample_compressed)
+    from nr3d_lib_tpu.models.model_base import LoTDNeuSModel
+
+    m = LoTDNeuSModel(
+        field_cfg={"surface_cfg": {
+            "encoding_cfg": {"lotd_cfg": {
+                "lod_res": [8, 16], "lod_n_feats": 2, "lod_types": "Dense"}},
+            "decoder_cfg": {"D": 1, "W": 16}},
+            "radiance_cfg": {"D": 1, "W": 16}},
+        accel_cfg={"resolution": 16, "max_steps_per_ray": 48,
+                   "step_size": 2 / 24})
+    m.populate()
+    # fresh grid: fully occupied (occgrid.py init) — the regime the bug bit
+    assert float(jnp.min(m.accel.occ.val_grid[...])) > 0.0
+
+    center = jnp.asarray([0.7, 0.0, 0.0])   # sphere deep in the far half
+
+    class _Stub:
+        def forward_sdf(self, x):
+            return {"sdf": jnp.linalg.norm(x - center, axis=-1) - 0.15}
+
+        def forward_inv_s(self):
+            return jnp.asarray(256.0)
+
+        def __call__(self, x, v, with_rgb=True, with_nablas=True):
+            d = x - center
+            n = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
+                                1e-9)
+            out = {"sdf": jnp.linalg.norm(d, axis=-1) - 0.15, "nablas": n}
+            if with_rgb:
+                out["rgb"] = jnp.ones_like(x) * 0.5
+            return out
+
+    o = jnp.asarray([[-2.0, 0.0, 0.0]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    rt = m.ray_test(o, d)
+    kw = dict(upsample_inv_s_factors=[1.0], n_importance=8,
+              compression_factor=0.5)
+    r_def, _ = neus_ray_query_march_occ_multi_upsample_compressed(
+        _Stub(), m.accel, m.space, rt, **kw)
+    # this ray occupies 24 of the 48 slab slots; budget 0.25*48=12 keeps
+    # only the near half of them — the surface at t=2.55 falls past it
+    r_half, _ = neus_ray_query_march_occ_multi_upsample_compressed(
+        _Stub(), m.accel, m.space, rt, march_budget_factor=0.25, **kw)
+    acc_def = float(np.asarray(r_def["mask_volume"])[0])
+    acc_half = float(np.asarray(r_half["mask_volume"])[0])
+    dep_def = float(np.asarray(r_def["depth_volume"])[0])
+    assert acc_def > 0.9, acc_def                      # surface rendered
+    assert abs(dep_def - 2.55) < 0.1, dep_def          # at the right depth
+    assert acc_half < 0.1, acc_half                    # truncation documented
