@@ -9,3 +9,4 @@ from nr3d_lib_tpu.maths.slerp import slerp  # noqa: F401
 from nr3d_lib_tpu.maths.common import (  # noqa: F401
     logistic_density, logistic_cdf, normalize)
 from nr3d_lib_tpu.maths.knn import knn_points, knn_gather, chamfer_distance, dist_to_nn3_mean  # noqa: F401
+from nr3d_lib_tpu.maths.depth_completion import depth_completion  # noqa: F401

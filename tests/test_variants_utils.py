@@ -223,3 +223,24 @@ def test_packed_matmul_and_merge_batch(rng):
                                [[0, 1, 2, 3], [0, 1, 2, 3]])
     np.testing.assert_array_equal(np.asarray(from_b),
                                   [[0, 1, 0, 1], [1, 0, 1, 0]])
+
+
+def test_auto_ngp4d_cfg_budget_and_axes():
+    """4D auto-config (reference lotd_cfg.py:135): stays under the param
+    budget (incl. far levels where a naive int64 prod overflows), grows the
+    w axis from its own min_res, honors cuboid stretch."""
+    import math
+
+    from nr3d_lib_tpu.models.grid_encodings import auto_ngp4d_cfg
+
+    cfg = auto_ngp4d_cfg(1.0, target_num_params=2 ** 20,
+                         log2_hashmap_size=14)
+    tot = sum((16384 if t == "Hash" else math.prod(r)) * cfg["lod_n_feats"]
+              for r, t in zip(cfg["lod_res"], cfg["lod_types"]))
+    assert 0 < tot <= 2 ** 20
+    assert all(len(r) == 4 for r in cfg["lod_res"])
+    assert cfg["lod_types"][0] == "Dense" and cfg["lod_types"][-1] == "Hash"
+
+    cfg2 = auto_ngp4d_cfg([1.0, 2.0, 4.0], min_res_w=8,
+                          target_num_params=2 ** 18, log2_hashmap_size=12)
+    assert cfg2["lod_res"][0] == [4, 8, 16, 8]
