@@ -42,7 +42,10 @@ def build(n_rays=4096, w4=False):
         accel_cfg={"resolution": 64, "max_steps_per_ray": 96,
                    "step_size": 2.0 / 96},
         ray_query_cfg={"query_mode": "march_occ_multi_upsample_compressed",
-                       "compression_factor": 0.25})
+                       "compression_factor": 0.25,
+                       # safe: 15% occupancy seeded below (library default
+                       # is 1.0; budgeting truncates far-first past budget)
+                       "march_budget_factor": 0.5})
     model.populate()
     occ = jax.random.uniform(jax.random.key(5),
                              model.accel.occ.val_grid[...].shape) < 0.15

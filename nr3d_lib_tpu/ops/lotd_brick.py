@@ -264,6 +264,30 @@ def _dx_matrix(meta: BrickMeta) -> np.ndarray:
     return m
 
 
+def _copy_rows(dst_ref, dst_base, table_ref, row_of, count):
+    """Unrolled row-gather loop: dst[dst_base+k] = table[row_of(k)].
+
+    With _STORE_BATCH = s > 1, s loaded rows are packed into one (s,128)
+    value (VPU sublane concat — a different pipe than the scalar-issued
+    loads) and stored with ONE aligned store instead of s: the per-row
+    store issue is the other half of the measured 1.76 cyc/row.
+    dst_base must be s-aligned (all callers use multiples of 64)."""
+    from jax.experimental import pallas as pl
+
+    sb = _STORE_BATCH
+    if sb <= 1:
+        for k in range(count):
+            dst_ref[pl.ds(dst_base + k, 1), :] = \
+                table_ref[pl.ds(row_of(k), 1), :]
+    else:
+        assert count % sb == 0
+        for k in range(0, count, sb):
+            rows = jnp.concatenate(
+                [table_ref[pl.ds(row_of(k + i), 1), :] for i in range(sb)],
+                axis=0)
+            dst_ref[pl.ds(dst_base + k, sb), :] = rows
+
+
 def _gather_phase(meta, tile, rows_ref, table_ref, scratch_ref):
     """Gathers into scratch[l·tile + n, :] with a fully-unrolled scalar
     loop — measured 1.76 cyc/row (point-outer ×64 unroll; level-outer was
@@ -278,14 +302,18 @@ def _gather_phase(meta, tile, rows_ref, table_ref, scratch_ref):
 
     L = meta.n_levels
     INNER = 64
+    sb = max(_STORE_BATCH, 1)
 
     def gather_body(i, _):
         base = i * INNER
-        for k in range(INNER):
+        # sb=1: point-outer × level-inner (as measured fastest).
+        # sb>1: groups of sb points, level-inner — each (level, group)
+        # writes sb consecutive scratch rows with ONE store.
+        for k in range(0, INNER, sb):
             n = base + k
             for l in range(L):
-                scratch_ref[pl.ds(l * tile + n, 1), :] = \
-                    table_ref[pl.ds(rows_ref[l, n], 1), :]
+                _copy_rows(scratch_ref, l * tile + n, table_ref,
+                           lambda j, l=l, n=n: rows_ref[l, n + j], sb)
         return 0
 
     jax.lax.fori_loop(0, tile // INNER, gather_body, 0)
@@ -406,9 +434,8 @@ def _fwd_kernel_v3(meta: BrickMeta, tile: int, block: int,
     def gather_level(buf, base, l):
         if l in mxu:
             return
-        for k in range(block):
-            buf[pl.ds(l * block + k, 1), :] = \
-                table_ref[pl.ds(rows_ref[l, base + k], 1), :]
+        _copy_rows(buf, l * block, table_ref,
+                   lambda j: rows_ref[l, base + j], block)
 
     def extract(buf, base, gather_next):
         lane_blk = lane_ref[pl.ds(base, block), :]
@@ -591,9 +618,8 @@ def _bwd_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
     def gather_level(buf, base, l):
         if l in mxu:
             return
-        for k in range(block):
-            buf[pl.ds(l * block + k, 1), :] = \
-                table_ref[pl.ds(rows_ref[l, base + k], 1), :]
+        _copy_rows(buf, l * block, table_ref,
+                   lambda j: rows_ref[l, base + j], block)
 
     def scatter_level(sbuf, base, l):
         if l in mxu:
@@ -784,9 +810,8 @@ def _dydx_kernel_v3(meta: BrickMeta, tile: int, block: int,
     def gather_level(buf, base, l):
         if l in mxu:
             return
-        for k in range(block):
-            buf[pl.ds(l * block + k, 1), :] = \
-                table_ref[pl.ds(rows_ref[l, base + k], 1), :]
+        _copy_rows(buf, l * block, table_ref,
+                   lambda j: rows_ref[l, base + j], block)
 
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
     lvl = jnp.minimum(lane_i >> 4, L - 1)
@@ -874,9 +899,8 @@ def _bwd2_kernel_v3(meta: BrickMeta, tile: int, block: int,
     def gather_level(buf, base, l):
         if l in mxu:
             return
-        for k in range(block):
-            buf[pl.ds(l * block + k, 1), :] = \
-                table_ref[pl.ds(rows_ref[l, base + k], 1), :]
+        _copy_rows(buf, l * block, table_ref,
+                   lambda j: rows_ref[l, base + j], block)
 
     def scatter_level(sbuf, base, l):
         if l in mxu:
@@ -1103,6 +1127,11 @@ _MXU_MAX_ROWS = 2048  # row cap for the MXU gather (VPU one-hot cost grows
 _FWD_BLOCK = 1024     # points per pipeline stage in the v3 kernel
                       # (A/B at 3.6M pts: 1024 -> 15.0 cyc/pt vs v2's
                       # 23.5; smaller blocks pipeline worse)
+_STORE_BATCH = 1      # gather-loop store batching: pack this many loaded
+                      # rows into one (k,128) aligned scratch store (the
+                      # loads stay per-row; packing is VPU sublane work).
+                      # 1 = off; 8 = one store per 8 rows. A/B'd on HW by
+                      # experiments/store_batch_probe.py before enabling.
 
 
 def _offset_rows(rows: Array, bidx, meta: BrickMeta, n_pad: int) -> Array:

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nr3d_lib_tpu.ops import lotd_brick as B
 from nr3d_lib_tpu.ops.lotd_brick import (BRICK_W, LANES, BrickMeta,
                                          _corner_weights,
                                          _level_rows_and_lanes, _pad_points,
@@ -178,9 +179,8 @@ def _fwd4_kernel_v3(meta: BrickMeta, tile: int, block: int,
     half = f & 1
 
     def gather_level(buf, base, l):
-        for k in range(block):
-            buf[pl.ds(l * block + k, 1), :] = \
-                table_ref[pl.ds(rows_ref[l, base + k], 1), :]
+        B._copy_rows(buf, l * block, table_ref,
+                     lambda j: rows_ref[l, base + j], block)
 
     def extract(buf, base, gather_next):
         lane_blk = lane_ref[pl.ds(base, block), :]
@@ -256,9 +256,8 @@ def _bwd4_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
     half = f & 1
 
     def gather_level(buf, base, l):
-        for k in range(block):
-            buf[pl.ds(l * block + k, 1), :] = \
-                table_ref[pl.ds(rows_ref[l, base + k], 1), :]
+        B._copy_rows(buf, l * block, table_ref,
+                     lambda j: rows_ref[l, base + j], block)
 
     def scatter_level(sbuf, base, l):
         for k in range(block):
@@ -520,9 +519,8 @@ def _dydx4_kernel_v3(meta: BrickMeta, tile: int, block: int,
     half = f & 1
 
     def gather_level(buf, base, l):
-        for k in range(block):
-            buf[pl.ds(l * block + k, 1), :] = \
-                table_ref[pl.ds(rows_ref[l, base + k], 1), :]
+        B._copy_rows(buf, l * block, table_ref,
+                     lambda j: rows_ref[l, base + j], block)
 
     def process(buf, base, next_base):
         lane_blk = lane_ref[pl.ds(base, block), :]
@@ -601,9 +599,8 @@ def _bwd24_kernel_v3(meta: BrickMeta, tile: int, block: int,
     aux = aux_ref[:]                                          # [8,128]
 
     def gather_level(buf, base, l):
-        for k in range(block):
-            buf[pl.ds(l * block + k, 1), :] = \
-                table_ref[pl.ds(rows_ref[l, base + k], 1), :]
+        B._copy_rows(buf, l * block, table_ref,
+                     lambda j: rows_ref[l, base + j], block)
 
     def scatter_level(sbuf, base, l):
         for k in range(block):
