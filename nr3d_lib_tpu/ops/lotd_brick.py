@@ -288,6 +288,31 @@ def _copy_rows(dst_ref, dst_base, table_ref, row_of, count):
             dst_ref[pl.ds(dst_base + k, sb), :] = rows
 
 
+def _scatter_rows(dtab_ref, sbuf, sb_base, row_of, count):
+    """Unrolled scatter-add loop: dtab[row_of(k)] += sbuf[sb_base+k].
+
+    The dtab RMW targets are random rows (cannot batch), but the STAGED
+    slab reads are consecutive: with _STORE_BATCH = s > 1 one (s,128)
+    load replaces s per-row loads; row i comes out as a static slice
+    (vector work). Duplicate target rows stay sequential RMWs — exact."""
+    from jax.experimental import pallas as pl
+
+    sb = _STORE_BATCH
+    if sb <= 1:
+        for k in range(count):
+            r = row_of(k)
+            dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
+                sbuf[pl.ds(sb_base + k, 1), :]
+    else:
+        assert count % sb == 0
+        for k in range(0, count, sb):
+            blk = sbuf[pl.ds(sb_base + k, sb), :]
+            for i in range(sb):
+                r = row_of(k + i)
+                dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
+                    blk[i:i + 1, :]
+
+
 def _gather_phase(meta, tile, rows_ref, table_ref, scratch_ref):
     """Gathers into scratch[l·tile + n, :] with a fully-unrolled scalar
     loop — measured 1.76 cyc/row (point-outer ×64 unroll; level-outer was
@@ -634,10 +659,8 @@ def _bwd_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
                           preferred_element_type=jnp.float32
                           ).astype(dtab_ref.dtype))
             return
-        for k in range(block):
-            r = rows_ref[l, base + k]
-            dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
-                sbuf[pl.ds(l * block + k, 1), :]
+        _scatter_rows(dtab_ref, sbuf, l * block,
+                      lambda j: rows_ref[l, base + j], block)
 
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
     lvl = jnp.minimum(lane_i >> 4, L - 1)
@@ -915,10 +938,8 @@ def _bwd2_kernel_v3(meta: BrickMeta, tile: int, block: int,
                           preferred_element_type=jnp.float32
                           ).astype(dtab_ref.dtype))
             return
-        for k in range(block):
-            r = rows_ref[l, base + k]
-            dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
-                sbuf[pl.ds(l * block + k, 1), :]
+        _scatter_rows(dtab_ref, sbuf, l * block,
+                      lambda j: rows_ref[l, base + j], block)
 
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
     lvl = jnp.minimum(lane_i >> 4, L - 1)

@@ -260,14 +260,10 @@ def _bwd4_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
                      lambda j: rows_ref[l, base + j], block)
 
     def scatter_level(sbuf, base, l):
-        for k in range(block):
-            r = rows_ref[l, base + k]
-            dtab_lo_ref[pl.ds(r, 1), :] = \
-                dtab_lo_ref[pl.ds(r, 1), :] + \
-                sbuf[pl.ds(l * (2 * block) + k, 1), :]
-            dtab_hi_ref[pl.ds(r, 1), :] = \
-                dtab_hi_ref[pl.ds(r, 1), :] + \
-                sbuf[pl.ds(l * (2 * block) + block + k, 1), :]
+        B._scatter_rows(dtab_lo_ref, sbuf, l * (2 * block),
+                        lambda j: rows_ref[l, base + j], block)
+        B._scatter_rows(dtab_hi_ref, sbuf, l * (2 * block) + block,
+                        lambda j: rows_ref[l, base + j], block)
 
     def process(gbuf, sbuf, base, next_base, prev_base, prev_sbuf):
         lane_blk = lane_ref[pl.ds(base, block), :]
@@ -603,14 +599,10 @@ def _bwd24_kernel_v3(meta: BrickMeta, tile: int, block: int,
                      lambda j: rows_ref[l, base + j], block)
 
     def scatter_level(sbuf, base, l):
-        for k in range(block):
-            r = rows_ref[l, base + k]
-            dtab_lo_ref[pl.ds(r, 1), :] = \
-                dtab_lo_ref[pl.ds(r, 1), :] + \
-                sbuf[pl.ds(l * (2 * block) + k, 1), :]
-            dtab_hi_ref[pl.ds(r, 1), :] = \
-                dtab_hi_ref[pl.ds(r, 1), :] + \
-                sbuf[pl.ds(l * (2 * block) + block + k, 1), :]
+        B._scatter_rows(dtab_lo_ref, sbuf, l * (2 * block),
+                        lambda j: rows_ref[l, base + j], block)
+        B._scatter_rows(dtab_hi_ref, sbuf, l * (2 * block) + block,
+                        lambda j: rows_ref[l, base + j], block)
 
     def process(gbuf, sbuf, base, next_base, prev_base, prev_sbuf):
         lane_blk = lane_ref[pl.ds(base, block), :]
