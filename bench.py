@@ -105,7 +105,10 @@ def main():
     signal.signal(signal.SIGINT, _on_term)
 
     t_start = time.time()
-    budget = float(os.environ.get("BENCH_BUDGET_S", 2100))
+    # round-3: the driver's outer timeout (SIGTERM, rc=124) landed before
+    # the 2100 s internal budget — self-limit earlier so the run ENDS
+    # cleanly with every started section recorded
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1700))
     cpu_fallback = not _device_probe_ok()
 
     def over_budget(section):
@@ -274,20 +277,23 @@ def main():
         br = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(br)
         render_jobs = [
+            # ordered by competitive value — a driver SIGTERM keeps the
+            # prefix (round-3 lost only the last job; the w4 compressed
+            # train step is the production config, so it runs 3rd now)
             ("render_fwd_brick_compressed_krays",
              lambda: br.main(use_brick=True, mode="march_occ_compressed")),
             ("train_step_neus_compressed_krays",
              lambda: br.main_train(use_brick=True, kind="neus_compressed")),
-            ("train_step_neus_brick_krays",
-             lambda: br.main_train(use_brick=True, kind="neus")),
-            ("render_fwd_brick4_compressed_krays",
-             lambda: br.main(use_brick=True, mode="march_occ_compressed",
-                             w4=True)),
-            ("train_step_nerf_brick_krays",
-             lambda: br.main_train(use_brick=True, kind="nerf")),
             ("train_step_neus_compressed_w4_krays",
              lambda: br.main_train(use_brick=True,
                                    kind="neus_compressed_w4")),
+            ("render_fwd_brick4_compressed_krays",
+             lambda: br.main(use_brick=True, mode="march_occ_compressed",
+                             w4=True)),
+            ("train_step_neus_brick_krays",
+             lambda: br.main_train(use_brick=True, kind="neus")),
+            ("train_step_nerf_brick_krays",
+             lambda: br.main_train(use_brick=True, kind="nerf")),
         ]
         for key_, job in render_jobs:
             if over_budget(key_):
