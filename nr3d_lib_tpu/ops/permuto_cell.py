@@ -34,6 +34,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nr3d_lib_tpu.ops.lotd_brick import _copy_rows, _scatter_rows
+
+
+def _STORE_BATCH_PC():
+    from nr3d_lib_tpu.ops import lotd_brick as _B
+    return _B._STORE_BATCH
+
 from nr3d_lib_tpu.ops.lotd import HASH_PRIMES
 from nr3d_lib_tpu.ops.permuto import _simplex_parts
 
@@ -277,11 +284,12 @@ def _gather_phase(lc, tile, rows_ref, table_ref, scratch_ref):
 
     def gather_body(i, _):
         base = i * INNER
-        for k in range(INNER):
+        sb = max(_STORE_BATCH_PC(), 1)
+        for k in range(0, INNER, sb):
             n = base + k
             for l in range(lc):
-                scratch_ref[pl.ds(l * tile + n, 1), :] = \
-                    table_ref[pl.ds(rows_ref[l, n], 1), :]
+                _copy_rows(scratch_ref, l * tile + n, table_ref,
+                           lambda j, l=l, n=n: rows_ref[l, n + j], sb)
         return 0
 
     jax.lax.fori_loop(0, tile // INNER, gather_body, 0)
@@ -401,9 +409,8 @@ def _fwd_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
     def gather_level(buf, base, l):
         if l in mxu:
             return
-        for kk in range(block):
-            buf[pl.ds(l * block + kk, 1), :] = \
-                table_ref[pl.ds(rows_ref[l, base + kk], 1), :]
+        _copy_rows(buf, l * block, table_ref,
+                   lambda j: rows_ref[l, base + j], block)
 
     def process(buf, base, next_base):
         lane_blk = lane_ref[pl.ds(base, block), :]
@@ -537,10 +544,8 @@ def _bwd_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
             _mxu_scatter_pc(dtab_ref, sbuf, rowsh_ref, base, block, l,
                             *mxu[l], slab_row0=l * block)
             return
-        for kk in range(block):
-            r = rows_ref[l, base + kk]
-            dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
-                sbuf[pl.ds(l * block + kk, 1), :]
+        _scatter_rows(dtab_ref, sbuf, l * block,
+                      lambda j: rows_ref[l, base + j], block)
 
     def process(sbuf, base, prev_base, prev_sbuf):
         lane_pad = jnp.pad(lane_ref[pl.ds(base, block), :],
@@ -711,19 +716,16 @@ def _bwd_full_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int,
     def gather_level(buf, base, l):
         if l in mxu:
             return
-        for kk in range(block):
-            buf[pl.ds(l * block + kk, 1), :] = \
-                table_ref[pl.ds(rows_ref[l, base + kk], 1), :]
+        _copy_rows(buf, l * block, table_ref,
+                   lambda j: rows_ref[l, base + j], block)
 
     def scatter_level(sbuf, base, l):
         if l in mxu:
             _mxu_scatter_pc(dtab_ref, sbuf, rowsh_ref, base, block, l,
                             *mxu[l], slab_row0=l * block)
             return
-        for kk in range(block):
-            r = rows_ref[l, base + kk]
-            dtab_ref[pl.ds(r, 1), :] = dtab_ref[pl.ds(r, 1), :] + \
-                sbuf[pl.ds(l * block + kk, 1), :]
+        _scatter_rows(dtab_ref, sbuf, l * block,
+                      lambda j: rows_ref[l, base + j], block)
 
     def process(gbuf, sbuf, base, next_base, prev_base, prev_sbuf):
         lane_pad = jnp.pad(lane_ref[pl.ds(base, block), :],
@@ -1182,9 +1184,8 @@ def _dydx_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
     def gather_level(buf, base, l):
         if l in mxu:
             return
-        for kk in range(block):
-            buf[pl.ds(l * block + kk, 1), :] = \
-                table_ref[pl.ds(rows_ref[l, base + kk], 1), :]
+        _copy_rows(buf, l * block, table_ref,
+                   lambda j: rows_ref[l, base + j], block)
 
     def process(buf, base, next_base):
         lane_pad = jnp.pad(lane_ref[pl.ds(base, block), :],

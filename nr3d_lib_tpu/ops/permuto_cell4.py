@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nr3d_lib_tpu.ops.lotd_brick import _copy_rows, _scatter_rows
+
 from nr3d_lib_tpu.ops.lotd_brick4 import _quantize4, pack_table4
 from nr3d_lib_tpu.ops.permuto_cell import (LANES, PermutoCellMeta,
                                            _dx_weight_matrix,
@@ -153,9 +155,8 @@ def _fwd4_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
     sel = jnp.minimum(lvl * vp + kv, LANES - 1)
 
     def gather_level(buf, base, l):
-        for kk in range(block):
-            buf[pl.ds(l * block + kk, 1), :] = \
-                table_ref[pl.ds(rows_ref[l, base + kk], 1), :]
+        _copy_rows(buf, l * block, table_ref,
+                   lambda j: rows_ref[l, base + j], block)
 
     def process(buf, base, next_base):
         lane_blk = lane_ref[pl.ds(base, block), :]
@@ -244,19 +245,14 @@ def _bwd4_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
     sel = jnp.minimum(lvl * vp + kv, LANES - 1)
 
     def gather_level(buf, base, l):
-        for kk in range(block):
-            buf[pl.ds(l * block + kk, 1), :] = \
-                table_ref[pl.ds(rows_ref[l, base + kk], 1), :]
+        _copy_rows(buf, l * block, table_ref,
+                   lambda j: rows_ref[l, base + j], block)
 
     def scatter_level(sbuf, base, l):
-        for kk in range(block):
-            r = rows_ref[l, base + kk]
-            dtab_lo_ref[pl.ds(r, 1), :] = \
-                dtab_lo_ref[pl.ds(r, 1), :] + \
-                sbuf[pl.ds(l * (2 * block) + kk, 1), :]
-            dtab_hi_ref[pl.ds(r, 1), :] = \
-                dtab_hi_ref[pl.ds(r, 1), :] + \
-                sbuf[pl.ds(l * (2 * block) + block + kk, 1), :]
+        _scatter_rows(dtab_lo_ref, sbuf, l * (2 * block),
+                      lambda j: rows_ref[l, base + j], block)
+        _scatter_rows(dtab_hi_ref, sbuf, l * (2 * block) + block,
+                      lambda j: rows_ref[l, base + j], block)
 
     def process(gbuf, sbuf, base, next_base, prev_base, prev_sbuf):
         lane_pad = jnp.pad(lane_ref[pl.ds(base, block), :],
@@ -560,9 +556,8 @@ def _dydx4_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
     sel = jnp.minimum(lvl * vp + kv, LANES - 1)
 
     def gather_level(buf, base, l):
-        for kk in range(block):
-            buf[pl.ds(l * block + kk, 1), :] = \
-                table_ref[pl.ds(rows_ref[l, base + kk], 1), :]
+        _copy_rows(buf, l * block, table_ref,
+                   lambda j: rows_ref[l, base + j], block)
 
     def process(buf, base, next_base):
         lane_pad = jnp.pad(lane_ref[pl.ds(base, block), :],
