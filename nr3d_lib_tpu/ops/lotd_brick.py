@@ -1148,11 +1148,12 @@ _MXU_MAX_ROWS = 2048  # row cap for the MXU gather (VPU one-hot cost grows
 _FWD_BLOCK = 1024     # points per pipeline stage in the v3 kernel
                       # (A/B at 3.6M pts: 1024 -> 15.0 cyc/pt vs v2's
                       # 23.5; smaller blocks pipeline worse)
-_STORE_BATCH = 1      # gather-loop store batching: pack this many loaded
+_STORE_BATCH = 8      # gather-loop store batching: pack this many loaded
                       # rows into one (k,128) aligned scratch store (the
-                      # loads stay per-row; packing is VPU sublane work).
-                      # 1 = off; 8 = one store per 8 rows. A/B'd on HW by
-                      # experiments/store_batch_probe.py before enabling.
+                      # loads stay per-row; packing is VPU sublane work)
+                      # and the backward's staging reads likewise. HW A/B
+                      # (3.6M pts, 8 levels, fwd): sb=1 14.78 cyc/pt,
+                      # sb=4 14.82 (wash), sb=8 13.39 (0.0702 GS/s, +10%).
 
 
 def _offset_rows(rows: Array, bidx, meta: BrickMeta, n_pad: int) -> Array:
