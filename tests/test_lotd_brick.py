@@ -341,3 +341,33 @@ def test_brick_encoding_module(rng):
     o = enc._param_offsets
     assert (np.abs(g[o[0]:o[1]]) > 0).any(), "dense level got no grad"
     assert (np.abs(g[o[1]:o[2]]) > 0).any(), "hash level got no grad"
+
+
+def test_store_batch_paths_bit_identical(rng):
+    """Both _STORE_BATCH settings (1 = per-row stores, 8 = batched (8,128)
+    stores + batched scatter-staging reads) must produce BIT-identical
+    values and grads — same loads, same order, different store grouping.
+    HW A/B picked 8 as the default (DESIGN.md round-4)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    bmeta = B.make_brick_meta([16, 64], ["Dense", "Hash"], hashmap_rows=256)
+    table = jnp.asarray(rng.standard_normal((bmeta.total_rows, 128))
+                        .astype(np.float32)) * 1e-2
+    x = jnp.asarray(rng.uniform(0.01, 0.99, (256, 3)).astype(np.float32))
+
+    def loss(t_, x_):
+        return jnp.sum(B.brick_encode(x_, t_, bmeta, True) ** 2)
+
+    res = {}
+    saved = B._STORE_BATCH
+    try:
+        for sb in (1, 8):
+            B._STORE_BATCH = sb
+            with _block(128, 3, False), pltpu.force_tpu_interpret_mode():
+                l, (dt, dx) = jax.value_and_grad(loss, argnums=(0, 1))(
+                    table, x)
+            res[sb] = (np.asarray(l), np.asarray(dt), np.asarray(dx))
+    finally:
+        B._STORE_BATCH = saved
+    for i in range(3):
+        np.testing.assert_array_equal(res[1][i], res[8][i])
