@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import functools
 import importlib
+import os
 import time
 from typing import Any, Callable, Dict, List, Optional, Sequence, Union
 
@@ -258,3 +259,32 @@ def chunked(total: int, chunk: int):
     """Yield (start, size) spans covering [0, total)."""
     for start in range(0, total, chunk):
         yield start, min(chunk, total - start)
+
+
+def backup_project(backup_dir: str, source_dir: str = "./",
+                   subdirs_to_copy: Sequence[str] = ("nr3d_lib_tpu",
+                                                     "examples"),
+                   filetypes_to_copy: Sequence[str] = (".py", ".yaml", ".sh",
+                                                      ".cpp", ".h")) -> None:
+    """Snapshot source files into an experiment directory for
+    reproducibility (reference: utils.py:942 backup_project — root at
+    depth 1, listed subdirs recursively)."""
+    import shutil
+
+    exts = tuple(filetypes_to_copy)
+
+    def _copy_tree(dst_root, src_root, recursive):
+        os.makedirs(dst_root, exist_ok=True)
+        for name in sorted(os.listdir(src_root)):
+            src = os.path.join(src_root, name)
+            dst = os.path.join(dst_root, name)
+            if os.path.isfile(src) and src.endswith(exts):
+                shutil.copy2(src, dst)
+            elif recursive and os.path.isdir(src) and not name.startswith("."):
+                _copy_tree(dst, src, True)
+
+    _copy_tree(backup_dir, source_dir, False)
+    for sub in subdirs_to_copy:
+        src = os.path.join(source_dir, sub)
+        if os.path.isdir(src):
+            _copy_tree(os.path.join(backup_dir, sub), src, True)
