@@ -13,6 +13,13 @@ Variants (all: idx random in [0,S), table VMEM-resident, out [N,128]):
   B  8× load → jnp.concatenate → 1 store     (batched store)
   C  4× load → concat → 1 (4,128) store      (half batch)
   D  8× load, accumulate-sum only, 1 store per 64 (load-issue floor ref)
+
+OUTCOME (round 4): this standalone probe hung >30 min in the congested
+remote Mosaic compiler and was abandoned; the decision A/B ran on the
+PRODUCTION kernel instead via `lotd_brick._STORE_BATCH` (bench-identical
+wrapper, so the sb=1 leg cache-hits): sb=1 14.78 cyc/pt, sb=4 14.82,
+sb=8 13.39 (0.0702 GS/s) → sb=8 shipped as the default. Kept for the
+variant-D load-floor question if the compiler service recovers.
 """
 
 import functools
