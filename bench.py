@@ -138,6 +138,8 @@ def main():
 
     from nr3d_lib_tpu.ops import lotd_brick as B
 
+    detail["store_batch"] = B._STORE_BATCH  # round-4 gather-store batching
+
     # mirror the reference bench config: 8 levels 16→2048, dense small + hash
     meta = B.make_brick_meta(
         [16, 32, 64, 128, 256, 512, 1024, 2048],
