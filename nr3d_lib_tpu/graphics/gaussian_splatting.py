@@ -242,18 +242,23 @@ def rasterize_gaussians_tiled(means: Array, scales: Array, quats: Array,
     pair_gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None, None],
                                 (n, win, win)).reshape(-1)
 
-    # --- (tile, depth) ordering: depth sort, then stable tile sort
-    # (reference: one 64-bit radix sort over tile|depth keys)
-    d_order = jnp.argsort(depth[pair_gid])
-    t_sorted = pair_tile[d_order]
-    t_order = jnp.argsort(t_sorted, stable=True)
-    pair_tile_s = t_sorted[t_order]
-    pair_gid_s = pair_gid[d_order][t_order]
+    # --- (tile, depth) ordering in ONE multi-key payload sort (reference:
+    # one 64-bit radix sort over tile|depth keys). The previous
+    # argsort → gather → stable-argsort → gather chain plus an M-element
+    # `searchsorted` all ran at scalar-gather rates on v5e (the lane-gather
+    # rule, DESIGN.md §3 round-3b) and dominated the whole rasterizer.
+    pair_depth = jnp.broadcast_to(depth[:, None, None],
+                                  (n, win, win)).reshape(-1)
+    pair_tile_s, _, pair_gid_s = jax.lax.sort(
+        (pair_tile, pair_depth, pair_gid), num_keys=2)
 
-    # --- per-tile rank (identifyTileRanges): position within its segment
-    seg_start = jnp.searchsorted(pair_tile_s, pair_tile_s, side="left")
-    rank = jnp.arange(pair_tile_s.shape[0], dtype=jnp.int32) \
-        - seg_start.astype(jnp.int32)
+    # --- per-tile rank (identifyTileRanges): i − first index of my tile's
+    # segment, via boundary-flag cummax — O(M) vector work, no gathers
+    idx = jnp.arange(pair_tile_s.shape[0], dtype=jnp.int32)
+    boundary = jnp.concatenate([jnp.ones((1,), bool),
+                                pair_tile_s[1:] != pair_tile_s[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(boundary, idx, 0))
+    rank = idx - seg_start
     keep = (pair_tile_s < n_tiles) & (rank < tile_capacity)
     n_dropped_cap = jnp.sum((pair_tile_s < n_tiles) & ~keep)
     slot = jnp.where(keep, pair_tile_s * tile_capacity + rank, 0)

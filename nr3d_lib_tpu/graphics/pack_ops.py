@@ -572,14 +572,19 @@ def merge_two_batch(valsA: Array, keyA: Array, valsB: Array, keyB: Array
     key = jnp.concatenate([keyA, keyB], -1)
     is_b = jnp.concatenate([jnp.zeros_like(keyA, jnp.int32),
                             jnp.ones_like(keyB, jnp.int32)], -1)
-    order = jnp.argsort(key, axis=-1)
     vals = jnp.concatenate([valsA, valsB], axis=-2 if valsA.ndim > 2 else -1)
+    # payload sort, NOT argsort + take_along_axis: lane-axis gathers
+    # scalarize on TPU (DESIGN.md §3 round-3b); feature channels ride as
+    # extra payload operands
     if vals.ndim == key.ndim:
-        vals_sorted = jnp.take_along_axis(vals, order, -1)
-    else:
-        vals_sorted = jnp.take_along_axis(vals, order[..., None], -2)
-    return (vals_sorted, jnp.take_along_axis(key, order, -1),
-            jnp.take_along_axis(is_b, order, -1))
+        key_s, is_b_s, vals_s = jax.lax.sort((key, is_b, vals), num_keys=1,
+                                             is_stable=True)
+        return vals_s, key_s, is_b_s
+    chans = tuple(vals[..., f] for f in range(vals.shape[-1]))
+    out = jax.lax.sort((key, is_b) + chans, num_keys=1, is_stable=True)
+    key_s, is_b_s = out[0], out[1]
+    vals_s = jnp.stack(out[2:], axis=-1)
+    return vals_s, key_s, is_b_s
 
 
 def try_merge_two_packs_sorted_aligned(valsA, keyA, ridxA, valsB, keyB, ridxB,
