@@ -339,27 +339,40 @@ def rasterize_gaussians_tiled(means: Array, scales: Array, quats: Array,
     # rule, DESIGN.md §3 round-3b) and dominated the whole rasterizer.
     pair_depth = jnp.broadcast_to(depth[:, None, None],
                                   (n, win, win)).reshape(-1)
-    pair_tile_s, _, pair_gid_s = jax.lax.sort(
-        (pair_tile, pair_depth, pair_gid), num_keys=2)
+    # Pack (tile, depth) into ONE u32 key when tile ids fit ≤ 20 bits:
+    # tile in the high bits, the top bits of the positive-float depth
+    # bitpattern (monotone for depth > 0) below — a 2-operand sort moves
+    # 1/3 less data than the 3-operand 2-key form. ≥ 12 depth bits ≈
+    # relative depth resolution ≤ 2⁻⁴ of the exponent step — ample for
+    # blend ordering; ties break arbitrarily, as the reference radix does.
+    tile_bits = max((n_tiles + 1).bit_length(), 1)
+    if tile_bits <= 20:
+        dshift = jnp.uint32(32 - tile_bits)
+        dbits = jax.lax.bitcast_convert_type(
+            jnp.maximum(pair_depth.astype(jnp.float32), 1e-6),
+            jnp.uint32) >> jnp.uint32(tile_bits)
+        key = (pair_tile.astype(jnp.uint32) << dshift) | dbits
+        key_s, pair_gid_s = jax.lax.sort((key, pair_gid), num_keys=1)
+        pair_tile_s = (key_s >> dshift).astype(jnp.int32)
+    else:
+        pair_tile_s, _, pair_gid_s = jax.lax.sort(
+            (pair_tile, pair_depth, pair_gid), num_keys=2)
 
-    # --- per-tile rank (identifyTileRanges): i − first index of my tile's
-    # segment, via boundary-flag cummax — O(M) vector work, no gathers
-    idx = jnp.arange(pair_tile_s.shape[0], dtype=jnp.int32)
-    boundary = jnp.concatenate([jnp.ones((1,), bool),
-                                pair_tile_s[1:] != pair_tile_s[:-1]])
-    seg_start = jax.lax.cummax(jnp.where(boundary, idx, 0))
-    rank = idx - seg_start
-    keep = (pair_tile_s < n_tiles) & (rank < tile_capacity)
-    n_dropped_cap = jnp.sum((pair_tile_s < n_tiles) & ~keep)
-    slot = jnp.where(keep, pair_tile_s * tile_capacity + rank, 0)
-    table = jnp.full((n_tiles * tile_capacity,), n, jnp.int32)
-    table = table.at[slot].set(jnp.where(keep, pair_gid_s, n),
-                               mode="drop")
-    # slot 0 may have been clobbered by masked-out writes; rebuild it
-    first_ok = keep & (slot == 0)
-    table = table.at[0].set(jnp.where(jnp.any(first_ok),
-                                      pair_gid_s[jnp.argmax(first_ok)], n))
-    table = table.reshape(n_tiles, tile_capacity)
+    # --- tile ranges → table by GATHER, not scatter: after the sort each
+    # tile's entries are CONTIGUOUS, so `first[t]` (1025 binary searches)
+    # + a [T, cap] gather replaces the M-element rank/scatter pipeline
+    # (cummax + 8M-slot scatter measured ~46 ms of the 500k-frame).
+    m_pairs = pair_tile_s.shape[0]
+    first = jnp.searchsorted(
+        pair_tile_s, jnp.arange(n_tiles + 1, dtype=pair_tile_s.dtype),
+        side="left")
+    seg_len = first[1:] - first[:-1]                         # [n_tiles]
+    n_dropped_cap = jnp.sum(jnp.maximum(seg_len - tile_capacity, 0))
+    pos = first[:n_tiles, None] + jnp.arange(tile_capacity,
+                                             dtype=jnp.int32)[None, :]
+    valid_tab = pos < first[1:, None]
+    table = jnp.where(valid_tab,
+                      pair_gid_s[jnp.minimum(pos, m_pairs - 1)], n)
 
     # --- per-tile blend, chunked over tiles to bound VMEM/HBM footprint
     pad = lambda a, v: jnp.concatenate([a, jnp.full((1,) + a.shape[1:], v,
