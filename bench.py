@@ -427,8 +427,11 @@ def main():
         intr_g = jnp.asarray([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]])
 
         def gs_run(mm, _unused):
+            # rendering path: the VMEM-local Pallas blend (training uses
+            # blend_backend='xla' for autodiff)
             return jnp.sum(GS.rasterize_gaussians_tiled(
-                mm, scales, quats, opac, cols, w2c, intr_g, hw_g)["rgb"])
+                mm, scales, quats, opac, cols, w2c, intr_g, hw_g,
+                blend_backend="pallas")["rgb"])
 
         rate = measure(gs_run, means, jnp.zeros(()), n_pts_local=1, n_hi=4)
         dt_g = 1.0 / (rate * 1e9)
