@@ -395,7 +395,8 @@ def _fwd_kernel_v2(meta: BrickMeta, tile: int,
     g, w, _ = _packed_lanes(meta, tile, lane_ref, frac_ref, scratch_ref)
     prod = g * w
     out_ref[:, :] = jnp.dot(prod, m_ref[:],
-                            preferred_element_type=jnp.float32
+                            preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
                             ).astype(out_ref.dtype)
 
 
@@ -431,7 +432,8 @@ def _mxu_rows(meta, table_ref, rowsv_ref, base, block, l):
     iota = jax.lax.broadcasted_iota(jnp.int32, (block, k_pad), 1)
     onehot = (iota == rid).astype(table_ref.dtype)
     tab = table_ref[pl.ds(start, k_pad), :]                 # [k_pad,128]
-    return jnp.dot(onehot, tab, preferred_element_type=jnp.float32
+    return jnp.dot(onehot, tab, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
                    ).astype(table_ref.dtype)
 
 
@@ -498,7 +500,8 @@ def _fwd_kernel_v3(meta: BrickMeta, tile: int, block: int,
                 frac_pad, jnp.minimum(3 * lvl_c + a, LANES - 1), axis=1)
             w = w * jnp.where(bit > 0, f_a, 1.0 - f_a)
         out_ref[pl.ds(base, block), :] = jnp.dot(
-            g * w, m_ref[:], preferred_element_type=jnp.float32
+            g * w, m_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
         ).astype(out_ref.dtype)
 
     for l in range(L):
@@ -557,9 +560,12 @@ def _bwd_kernel_v2(meta: BrickMeta, tile: int, need_dx: bool,
         ty = h * s[0] * s[2]
         tz = h * s[0] * s[1]
         # three single-column matmuls keep the per-axis sign/scale separate
-        dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32)
-        dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32)
-        dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32)
+        dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+        dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+        dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         dx_ref[:, :] = jnp.concatenate([dx0, dx1, dx2],
                                        axis=-1).astype(dx_ref.dtype)
     else:
@@ -656,7 +662,8 @@ def _bwd_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
             dtab_ref[pl.ds(start, k_pad), :] = (
                 dtab_ref[pl.ds(start, k_pad), :]
                 + jnp.dot(onehot_t, slab,
-                          preferred_element_type=jnp.float32
+                          preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
                           ).astype(dtab_ref.dtype))
             return
         _scatter_rows(dtab_ref, sbuf, l * block,
@@ -721,11 +728,14 @@ def _bwd_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
             ty = h * s[0] * s[2]
             tz = h * s[0] * s[1]
             dx0 = jnp.dot(tx, m_ref[:, 0:1],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
             dx1 = jnp.dot(ty, m_ref[:, 1:2],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
             dx2 = jnp.dot(tz, m_ref[:, 2:3],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
             dx_ref[pl.ds(base, block), :] = jnp.concatenate(
                 [dx0, dx1, dx2], axis=-1).astype(dx_ref.dtype)
         else:
@@ -811,9 +821,12 @@ def _dydx_kernel(meta: BrickMeta, tile: int,
     tx = h * s[1] * s[2]
     ty = h * s[0] * s[2]
     tz = h * s[0] * s[1]
-    dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32)
-    dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32)
-    dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32)
+    dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     dx_ref[:, :] = jnp.concatenate([dx0, dx1, dx2], -1).astype(dx_ref.dtype)
 
 
@@ -881,9 +894,12 @@ def _dydx_kernel_v3(meta: BrickMeta, tile: int, block: int,
         tx = h * s[1] * s[2]
         ty = h * s[0] * s[2]
         tz = h * s[0] * s[1]
-        dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32)
-        dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32)
-        dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32)
+        dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+        dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+        dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         dx_ref[pl.ds(base, block), :] = jnp.concatenate(
             [dx0, dx1, dx2], -1).astype(dx_ref.dtype)
 
@@ -935,7 +951,8 @@ def _bwd2_kernel_v3(meta: BrickMeta, tile: int, block: int,
             dtab_ref[pl.ds(start, k_pad), :] = (
                 dtab_ref[pl.ds(start, k_pad), :]
                 + jnp.dot(onehot_t, slab,
-                          preferred_element_type=jnp.float32
+                          preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
                           ).astype(dtab_ref.dtype))
             return
         _scatter_rows(dtab_ref, sbuf, l * block,
@@ -1001,7 +1018,8 @@ def _bwd2_kernel_v3(meta: BrickMeta, tile: int, block: int,
         f_lane = gg0 * d0 + gg1 * d1 + gg2 * d2
 
         dgup_ref[pl.ds(base, block), :] = jnp.dot(
-            g * f_lane, mred_ref[:], preferred_element_type=jnp.float32
+            g * f_lane, mred_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
         ).astype(dgup_ref.dtype)
 
         h2 = gb * g
@@ -1012,9 +1030,12 @@ def _bwd2_kernel_v3(meta: BrickMeta, tile: int, block: int,
         z0 = gg1 * (u2 * aux[3:4, :]) + gg2 * (u1 * aux[4:5, :])
         z1 = gg0 * (u2 * aux[3:4, :]) + gg2 * (u0 * aux[5:6, :])
         z2 = gg0 * (u1 * aux[4:5, :]) + gg1 * (u0 * aux[5:6, :])
-        dxa = jnp.dot(z0, ones_col, preferred_element_type=jnp.float32)
-        dxb = jnp.dot(z1, ones_col, preferred_element_type=jnp.float32)
-        dxc = jnp.dot(z2, ones_col, preferred_element_type=jnp.float32)
+        dxa = jnp.dot(z0, ones_col, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+        dxb = jnp.dot(z1, ones_col, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+        dxc = jnp.dot(z2, ones_col, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         dx_ref[pl.ds(base, block), :] = jnp.concatenate(
             [dxa, dxb, dxc], -1).astype(dx_ref.dtype)
 
@@ -1087,7 +1108,8 @@ def _bwd2_kernel(meta: BrickMeta, tile: int,
 
     # ---- dgup: Σ_{lanes of col} g·F  (one MXU reduce)
     dgup_ref[:, :] = jnp.dot(g * f_lane, mred_ref[:],
-                             preferred_element_type=jnp.float32
+                             preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
                              ).astype(dgup_ref.dtype)
 
     # ---- dx: cross-derivative pairs; u_c = gb·g·s_c
@@ -1099,9 +1121,12 @@ def _bwd2_kernel(meta: BrickMeta, tile: int,
     z0 = gg1 * (u2 * aux[3:4, :]) + gg2 * (u1 * aux[4:5, :])
     z1 = gg0 * (u2 * aux[3:4, :]) + gg2 * (u0 * aux[5:6, :])
     z2 = gg0 * (u1 * aux[4:5, :]) + gg1 * (u0 * aux[5:6, :])
-    dxa = jnp.dot(z0, ones_col, preferred_element_type=jnp.float32)
-    dxb = jnp.dot(z1, ones_col, preferred_element_type=jnp.float32)
-    dxc = jnp.dot(z2, ones_col, preferred_element_type=jnp.float32)
+    dxa = jnp.dot(z0, ones_col, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    dxb = jnp.dot(z1, ones_col, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    dxc = jnp.dot(z2, ones_col, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     dx_ref[:, :] = jnp.concatenate([dxa, dxb, dxc], -1).astype(dx_ref.dtype)
 
     # ---- dtab: contribution per gathered lane = gb·F; same inverse lane
@@ -1142,7 +1167,14 @@ def _bwd2_kernel(meta: BrickMeta, tile: int,
 
 _MAX_CHUNK = 1 << 19  # Mosaic crashes on very large per-call shapes
 _FWD_VERSION = 3      # 3 = software-pipelined fwd kernel; 2 = phase-serial
-_MXU_DENSE = True     # fetch small levels via one-hot MXU matmul
+_MXU_DENSE = False    # fetch small levels via one-hot MXU matmul.
+                      # OFF by default since round 4: kernel dots now run
+                      # at Precision.HIGHEST (f32-exact — Mosaic's DEFAULT
+                      # is bf16, which rounded gathered VALUES to ~4e-3
+                      # rel), and the 6-pass one-hot matmul at HIGHEST
+                      # costs more than the scalar gathers it replaces
+                      # (fwd 0.0465 vs 0.0642 GS/s measured). Set True
+                      # only with bf16-tolerant workloads.
 _MXU_MAX_ROWS = 2048  # row cap for the MXU gather (VPU one-hot cost grows
                       # with rows; past ~2k it exceeds the scalar time saved)
 _FWD_BLOCK = 1024     # points per pipeline stage in the v3 kernel

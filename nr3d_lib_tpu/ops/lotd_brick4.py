@@ -206,7 +206,8 @@ def _fwd4_kernel_v3(meta: BrickMeta, tile: int, block: int,
                 frac_pad, jnp.minimum(3 * lvl + a, LANES - 1), axis=1)
             w = w * jnp.where(bit > 0, f_a, 1.0 - f_a)
         out_ref[pl.ds(base, block), :] = jnp.dot(
-            gval * w, m_ref[:], preferred_element_type=jnp.float32
+            gval * w, m_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
         ).astype(out_ref.dtype)
 
     for l in range(L):
@@ -309,11 +310,14 @@ def _bwd4_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
             ty = h * s[0] * s[2]
             tz = h * s[0] * s[1]
             dx0 = jnp.dot(tx, m_ref[:, 0:1],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
             dx1 = jnp.dot(ty, m_ref[:, 1:2],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
             dx2 = jnp.dot(tz, m_ref[:, 2:3],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
             dx_ref[pl.ds(base, block), :] = jnp.concatenate(
                 [dx0, dx1, dx2], axis=-1).astype(dx_ref.dtype)
         else:
@@ -552,9 +556,12 @@ def _dydx4_kernel_v3(meta: BrickMeta, tile: int, block: int,
         tx = h * s[1] * s[2]
         ty = h * s[0] * s[2]
         tz = h * s[0] * s[1]
-        dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32)
-        dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32)
-        dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32)
+        dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+        dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+        dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         dx_ref[pl.ds(base, block), :] = jnp.concatenate(
             [dx0, dx1, dx2], -1).astype(dx_ref.dtype)
 
@@ -652,7 +659,8 @@ def _bwd24_kernel_v3(meta: BrickMeta, tile: int, block: int,
         f_lane = gg0 * d0 + gg1 * d1 + gg2 * d2
 
         dgup_ref[pl.ds(base, block), :] = jnp.dot(
-            gval * f_lane, mred_ref[:], preferred_element_type=jnp.float32
+            gval * f_lane, mred_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
         ).astype(dgup_ref.dtype)
 
         h2 = gb * gval
@@ -663,9 +671,12 @@ def _bwd24_kernel_v3(meta: BrickMeta, tile: int, block: int,
         z0 = gg1 * (u2 * aux[3:4, :]) + gg2 * (u1 * aux[4:5, :])
         z1 = gg0 * (u2 * aux[3:4, :]) + gg2 * (u0 * aux[5:6, :])
         z2 = gg0 * (u1 * aux[4:5, :]) + gg1 * (u0 * aux[5:6, :])
-        dxa = jnp.dot(z0, ones_col, preferred_element_type=jnp.float32)
-        dxb = jnp.dot(z1, ones_col, preferred_element_type=jnp.float32)
-        dxc = jnp.dot(z2, ones_col, preferred_element_type=jnp.float32)
+        dxa = jnp.dot(z0, ones_col, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+        dxb = jnp.dot(z1, ones_col, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+        dxc = jnp.dot(z2, ones_col, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         dx_ref[pl.ds(base, block), :] = jnp.concatenate(
             [dxa, dxb, dxc], -1).astype(dx_ref.dtype)
 

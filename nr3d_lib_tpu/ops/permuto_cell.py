@@ -332,7 +332,8 @@ def _fwd_kernel(meta: PermutoCellMeta, lc: int, tile: int,
     _gather_phase(lc, tile, rows_ref, table_ref, scratch_ref)
     g, w = _packed_lanes(meta, lc, tile, lane_ref, bary_ref, scratch_ref)
     out_ref[:, :] = jnp.dot(g * w, m_ref[:],
-                            preferred_element_type=jnp.float32
+                            preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
                             ).astype(out_ref.dtype)
 
 
@@ -363,7 +364,8 @@ def _mxu_rows_pc(table_ref, rowsv_ref, base_pt, block, li, start, k_pad):
     iota = jax.lax.broadcasted_iota(jnp.int32, (block, k_pad), 1)
     onehot = (iota == rid).astype(table_ref.dtype)
     tab = table_ref[pl.ds(start, k_pad), :]
-    return jnp.dot(onehot, tab, preferred_element_type=jnp.float32
+    return jnp.dot(onehot, tab, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
                    ).astype(table_ref.dtype)
 
 
@@ -378,7 +380,8 @@ def _mxu_scatter_pc(dtab_ref, sbuf, rowsh_ref, base_pt, block, li, start,
     slab = sbuf[pl.ds(slab_row0, block), :]
     dtab_ref[pl.ds(start, k_pad), :] = (
         dtab_ref[pl.ds(start, k_pad), :]
-        + jnp.dot(onehot_t, slab, preferred_element_type=jnp.float32
+        + jnp.dot(onehot_t, slab, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
                   ).astype(dtab_ref.dtype))
 
 
@@ -436,7 +439,8 @@ def _fwd_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
             g_l = jnp.take_along_axis(rows_l, wanted, axis=1)
             g = jnp.where(lvl == l, g_l, g)
         out_ref[pl.ds(base, block), :] = jnp.dot(
-            g * w, m_ref[:], preferred_element_type=jnp.float32
+            g * w, m_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
         ).astype(out_ref.dtype)
 
     for l in range(lc):
@@ -648,7 +652,8 @@ def _bwd_full_kernel(meta: PermutoCellMeta, lc: int, tile: int,
     delev = (jnp.take_along_axis(gfsum, sel1_ref[:], axis=1)
              - jnp.take_along_axis(gfsum, sel2_ref[:], axis=1))
     dx_ref[:, :] = jnp.dot(delev, wmat_ref[:],
-                           preferred_element_type=jnp.float32
+                           preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
                            ).astype(dx_ref.dtype)
 
     # ---- dtable: same staging as the frozen backward
@@ -764,7 +769,8 @@ def _bwd_full_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int,
                                        sel2_ref[pl.ds(base, block), :],
                                        axis=1))
         dx_ref[pl.ds(base, block), :] = jnp.dot(
-            delev, wmat_ref[:], preferred_element_type=jnp.float32
+            delev, wmat_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
         ).astype(dx_ref.dtype)
 
         for l in range(lc):
@@ -788,7 +794,10 @@ def _bwd_full_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int,
 _MAX_CHUNK = 1 << 19
 _FWD_VERSION = 3      # 3 = software-pipelined fwd; 2 = phase-serial
 _FWD_BLOCK = 1024     # points per pipeline stage (see lotd_brick A/B)
-_MXU_DENSE = True     # fetch/scatter small levels via one-hot MXU matmuls
+_MXU_DENSE = False    # fetch/scatter small levels via one-hot MXU matmuls.
+                      # OFF by default since round 4 (see lotd_brick.py:
+                      # kernel dots are f32-exact HIGHEST now; the 6-pass
+                      # one-hot matmul loses to the scalar gathers)
 _MXU_MAX_ROWS = 2048  # row cap (same reasoning as lotd_brick._MXU_MAX_ROWS)
 
 
@@ -1217,7 +1226,8 @@ def _dydx_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
                                        sel2_ref[pl.ds(base, block), :],
                                        axis=1))
         dx_ref[pl.ds(base, block), :] = jnp.dot(
-            delev, wmat_ref[:], preferred_element_type=jnp.float32
+            delev, wmat_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
         ).astype(dx_ref.dtype)
 
     for l in range(lc):

@@ -179,7 +179,8 @@ def _fwd4_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
             g = jnp.where(lvl == l, g_l, g)
         gval = _unpack_bits(g, half)
         out_ref[pl.ds(base, block), :] = jnp.dot(
-            gval * w, m_ref[:], preferred_element_type=jnp.float32
+            gval * w, m_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
         ).astype(out_ref.dtype)
 
     for l in range(lc):
@@ -291,7 +292,8 @@ def _bwd4_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
                 - jnp.take_along_axis(
                     gfsum, sel2_ref[pl.ds(base, block), :], axis=1))
             dx_ref[pl.ds(base, block), :] = jnp.dot(
-                delev, wmat_ref[:], preferred_element_type=jnp.float32
+                delev, wmat_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
             ).astype(dx_ref.dtype)
         else:
             dx_ref[pl.ds(base, block), :] = jnp.zeros(
@@ -586,7 +588,8 @@ def _dydx4_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
                                        sel2_ref[pl.ds(base, block), :],
                                        axis=1))
         dx_ref[pl.ds(base, block), :] = jnp.dot(
-            delev, wmat_ref[:], preferred_element_type=jnp.float32
+            delev, wmat_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST
         ).astype(dx_ref.dtype)
 
     for l in range(lc):
