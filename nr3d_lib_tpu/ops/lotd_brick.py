@@ -396,7 +396,7 @@ def _fwd_kernel_v2(meta: BrickMeta, tile: int,
     prod = g * w
     out_ref[:, :] = jnp.dot(prod, m_ref[:],
                             preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_DOT_PRECISION
                             ).astype(out_ref.dtype)
 
 
@@ -433,7 +433,7 @@ def _mxu_rows(meta, table_ref, rowsv_ref, base, block, l):
     onehot = (iota == rid).astype(table_ref.dtype)
     tab = table_ref[pl.ds(start, k_pad), :]                 # [k_pad,128]
     return jnp.dot(onehot, tab, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_DOT_PRECISION
                    ).astype(table_ref.dtype)
 
 
@@ -501,7 +501,7 @@ def _fwd_kernel_v3(meta: BrickMeta, tile: int, block: int,
             w = w * jnp.where(bit > 0, f_a, 1.0 - f_a)
         out_ref[pl.ds(base, block), :] = jnp.dot(
             g * w, m_ref[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_DOT_PRECISION
         ).astype(out_ref.dtype)
 
     for l in range(L):
@@ -561,11 +561,11 @@ def _bwd_kernel_v2(meta: BrickMeta, tile: int, need_dx: bool,
         tz = h * s[0] * s[1]
         # three single-column matmuls keep the per-axis sign/scale separate
         dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
         dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
         dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
         dx_ref[:, :] = jnp.concatenate([dx0, dx1, dx2],
                                        axis=-1).astype(dx_ref.dtype)
     else:
@@ -663,7 +663,7 @@ def _bwd_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
                 dtab_ref[pl.ds(start, k_pad), :]
                 + jnp.dot(onehot_t, slab,
                           preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_DOT_PRECISION
                           ).astype(dtab_ref.dtype))
             return
         _scatter_rows(dtab_ref, sbuf, l * block,
@@ -729,13 +729,13 @@ def _bwd_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
             tz = h * s[0] * s[1]
             dx0 = jnp.dot(tx, m_ref[:, 0:1],
                           preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
             dx1 = jnp.dot(ty, m_ref[:, 1:2],
                           preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
             dx2 = jnp.dot(tz, m_ref[:, 2:3],
                           preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
             dx_ref[pl.ds(base, block), :] = jnp.concatenate(
                 [dx0, dx1, dx2], axis=-1).astype(dx_ref.dtype)
         else:
@@ -822,11 +822,11 @@ def _dydx_kernel(meta: BrickMeta, tile: int,
     ty = h * s[0] * s[2]
     tz = h * s[0] * s[1]
     dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
     dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
     dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
     dx_ref[:, :] = jnp.concatenate([dx0, dx1, dx2], -1).astype(dx_ref.dtype)
 
 
@@ -895,11 +895,11 @@ def _dydx_kernel_v3(meta: BrickMeta, tile: int, block: int,
         ty = h * s[0] * s[2]
         tz = h * s[0] * s[1]
         dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
         dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
         dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
         dx_ref[pl.ds(base, block), :] = jnp.concatenate(
             [dx0, dx1, dx2], -1).astype(dx_ref.dtype)
 
@@ -952,7 +952,7 @@ def _bwd2_kernel_v3(meta: BrickMeta, tile: int, block: int,
                 dtab_ref[pl.ds(start, k_pad), :]
                 + jnp.dot(onehot_t, slab,
                           preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_DOT_PRECISION
                           ).astype(dtab_ref.dtype))
             return
         _scatter_rows(dtab_ref, sbuf, l * block,
@@ -1019,7 +1019,7 @@ def _bwd2_kernel_v3(meta: BrickMeta, tile: int, block: int,
 
         dgup_ref[pl.ds(base, block), :] = jnp.dot(
             g * f_lane, mred_ref[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_DOT_PRECISION
         ).astype(dgup_ref.dtype)
 
         h2 = gb * g
@@ -1031,11 +1031,11 @@ def _bwd2_kernel_v3(meta: BrickMeta, tile: int, block: int,
         z1 = gg0 * (u2 * aux[3:4, :]) + gg2 * (u0 * aux[5:6, :])
         z2 = gg0 * (u1 * aux[4:5, :]) + gg1 * (u0 * aux[5:6, :])
         dxa = jnp.dot(z0, ones_col, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
         dxb = jnp.dot(z1, ones_col, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
         dxc = jnp.dot(z2, ones_col, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
         dx_ref[pl.ds(base, block), :] = jnp.concatenate(
             [dxa, dxb, dxc], -1).astype(dx_ref.dtype)
 
@@ -1109,7 +1109,7 @@ def _bwd2_kernel(meta: BrickMeta, tile: int,
     # ---- dgup: Σ_{lanes of col} g·F  (one MXU reduce)
     dgup_ref[:, :] = jnp.dot(g * f_lane, mred_ref[:],
                              preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_DOT_PRECISION
                              ).astype(dgup_ref.dtype)
 
     # ---- dx: cross-derivative pairs; u_c = gb·g·s_c
@@ -1122,11 +1122,11 @@ def _bwd2_kernel(meta: BrickMeta, tile: int,
     z1 = gg0 * (u2 * aux[3:4, :]) + gg2 * (u0 * aux[5:6, :])
     z2 = gg0 * (u1 * aux[4:5, :]) + gg1 * (u0 * aux[5:6, :])
     dxa = jnp.dot(z0, ones_col, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
     dxb = jnp.dot(z1, ones_col, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
     dxc = jnp.dot(z2, ones_col, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
     dx_ref[:, :] = jnp.concatenate([dxa, dxb, dxc], -1).astype(dx_ref.dtype)
 
     # ---- dtab: contribution per gathered lane = gb·F; same inverse lane
@@ -1163,6 +1163,25 @@ def _bwd2_kernel(meta: BrickMeta, tile: int,
         return 0
 
     jax.lax.fori_loop(0, tile // INNER, scatter_body, 0)
+
+
+_DOT_PRECISION = jax.lax.Precision.HIGHEST
+# f32-exact kernel matmuls by default (Mosaic DEFAULT = bf16, ~4e-3 rel
+# on gathered values/products). `set_fast_math(True)` opts into the
+# bf16+MXU regime (~+10%% fwd throughput) — comparable to the reference's
+# fp16-param kernels; see docs/DESIGN.md round-4 numerics.
+
+
+def set_fast_math(enable: bool = True):
+    """Toggle bf16 kernel matmuls + the one-hot MXU gather (fast) vs
+    f32-exact HIGHEST dots (default). Applies to brick, brick4, and
+    permuto-cell kernels at their next trace."""
+    global _DOT_PRECISION, _MXU_DENSE
+    _DOT_PRECISION = (jax.lax.Precision.DEFAULT if enable
+                      else jax.lax.Precision.HIGHEST)
+    _MXU_DENSE = bool(enable)
+    from nr3d_lib_tpu.ops import permuto_cell as _pc
+    _pc._MXU_DENSE = bool(enable)
 
 
 _MAX_CHUNK = 1 << 19  # Mosaic crashes on very large per-call shapes

@@ -49,6 +49,11 @@ __all__ = ["make_brick4_meta", "brick4_encode", "brick4_encode_frozen_x",
 
 Array = jax.Array
 
+def _B_prec():
+    from nr3d_lib_tpu.ops import lotd_brick as _b
+    return _b._DOT_PRECISION
+
+
 N_FEAT4 = 4
 _MAX_CHUNK = 1 << 19
 _FWD_BLOCK = 1024
@@ -207,7 +212,7 @@ def _fwd4_kernel_v3(meta: BrickMeta, tile: int, block: int,
             w = w * jnp.where(bit > 0, f_a, 1.0 - f_a)
         out_ref[pl.ds(base, block), :] = jnp.dot(
             gval * w, m_ref[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_B_prec()
         ).astype(out_ref.dtype)
 
     for l in range(L):
@@ -311,13 +316,13 @@ def _bwd4_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
             tz = h * s[0] * s[1]
             dx0 = jnp.dot(tx, m_ref[:, 0:1],
                           preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_B_prec())
             dx1 = jnp.dot(ty, m_ref[:, 1:2],
                           preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_B_prec())
             dx2 = jnp.dot(tz, m_ref[:, 2:3],
                           preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_B_prec())
             dx_ref[pl.ds(base, block), :] = jnp.concatenate(
                 [dx0, dx1, dx2], axis=-1).astype(dx_ref.dtype)
         else:
@@ -557,11 +562,11 @@ def _dydx4_kernel_v3(meta: BrickMeta, tile: int, block: int,
         ty = h * s[0] * s[2]
         tz = h * s[0] * s[1]
         dx0 = jnp.dot(tx, m_ref[:, 0:1], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_B_prec())
         dx1 = jnp.dot(ty, m_ref[:, 1:2], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_B_prec())
         dx2 = jnp.dot(tz, m_ref[:, 2:3], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_B_prec())
         dx_ref[pl.ds(base, block), :] = jnp.concatenate(
             [dx0, dx1, dx2], -1).astype(dx_ref.dtype)
 
@@ -660,7 +665,7 @@ def _bwd24_kernel_v3(meta: BrickMeta, tile: int, block: int,
 
         dgup_ref[pl.ds(base, block), :] = jnp.dot(
             gval * f_lane, mred_ref[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_B_prec()
         ).astype(dgup_ref.dtype)
 
         h2 = gb * gval
@@ -672,11 +677,11 @@ def _bwd24_kernel_v3(meta: BrickMeta, tile: int, block: int,
         z1 = gg0 * (u2 * aux[3:4, :]) + gg2 * (u0 * aux[5:6, :])
         z2 = gg0 * (u1 * aux[4:5, :]) + gg1 * (u0 * aux[5:6, :])
         dxa = jnp.dot(z0, ones_col, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_B_prec())
         dxb = jnp.dot(z1, ones_col, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_B_prec())
         dxc = jnp.dot(z2, ones_col, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_B_prec())
         dx_ref[pl.ds(base, block), :] = jnp.concatenate(
             [dxa, dxb, dxc], -1).astype(dx_ref.dtype)
 

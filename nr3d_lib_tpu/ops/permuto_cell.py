@@ -50,6 +50,11 @@ __all__ = ["PermutoCellMeta", "make_permuto_cell_meta",
 
 Array = jax.Array
 
+def _B_prec():
+    from nr3d_lib_tpu.ops import lotd_brick as _b
+    return _b._DOT_PRECISION
+
+
 LANES = 128
 N_FEAT = 2
 
@@ -333,7 +338,7 @@ def _fwd_kernel(meta: PermutoCellMeta, lc: int, tile: int,
     g, w = _packed_lanes(meta, lc, tile, lane_ref, bary_ref, scratch_ref)
     out_ref[:, :] = jnp.dot(g * w, m_ref[:],
                             preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_B_prec()
                             ).astype(out_ref.dtype)
 
 
@@ -365,7 +370,7 @@ def _mxu_rows_pc(table_ref, rowsv_ref, base_pt, block, li, start, k_pad):
     onehot = (iota == rid).astype(table_ref.dtype)
     tab = table_ref[pl.ds(start, k_pad), :]
     return jnp.dot(onehot, tab, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_B_prec()
                    ).astype(table_ref.dtype)
 
 
@@ -381,7 +386,7 @@ def _mxu_scatter_pc(dtab_ref, sbuf, rowsh_ref, base_pt, block, li, start,
     dtab_ref[pl.ds(start, k_pad), :] = (
         dtab_ref[pl.ds(start, k_pad), :]
         + jnp.dot(onehot_t, slab, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_B_prec()
                   ).astype(dtab_ref.dtype))
 
 
@@ -440,7 +445,7 @@ def _fwd_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
             g = jnp.where(lvl == l, g_l, g)
         out_ref[pl.ds(base, block), :] = jnp.dot(
             g * w, m_ref[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_B_prec()
         ).astype(out_ref.dtype)
 
     for l in range(lc):
@@ -653,7 +658,7 @@ def _bwd_full_kernel(meta: PermutoCellMeta, lc: int, tile: int,
              - jnp.take_along_axis(gfsum, sel2_ref[:], axis=1))
     dx_ref[:, :] = jnp.dot(delev, wmat_ref[:],
                            preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_B_prec()
                            ).astype(dx_ref.dtype)
 
     # ---- dtable: same staging as the frozen backward
@@ -770,7 +775,7 @@ def _bwd_full_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int,
                                        axis=1))
         dx_ref[pl.ds(base, block), :] = jnp.dot(
             delev, wmat_ref[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_B_prec()
         ).astype(dx_ref.dtype)
 
         for l in range(lc):
@@ -1227,7 +1232,7 @@ def _dydx_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
                                        axis=1))
         dx_ref[pl.ds(base, block), :] = jnp.dot(
             delev, wmat_ref[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_B_prec()
         ).astype(dx_ref.dtype)
 
     for l in range(lc):

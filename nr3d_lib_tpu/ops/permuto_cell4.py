@@ -45,6 +45,11 @@ __all__ = ["make_permuto_cell4_meta", "permuto_cell4_encode",
 
 Array = jax.Array
 
+def _B_prec():
+    from nr3d_lib_tpu.ops import lotd_brick as _b
+    return _b._DOT_PRECISION
+
+
 _MAX_CHUNK = 1 << 19
 _FWD_BLOCK = 1024
 
@@ -180,7 +185,7 @@ def _fwd4_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
         gval = _unpack_bits(g, half)
         out_ref[pl.ds(base, block), :] = jnp.dot(
             gval * w, m_ref[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_B_prec()
         ).astype(out_ref.dtype)
 
     for l in range(lc):
@@ -293,7 +298,7 @@ def _bwd4_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
                     gfsum, sel2_ref[pl.ds(base, block), :], axis=1))
             dx_ref[pl.ds(base, block), :] = jnp.dot(
                 delev, wmat_ref[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_B_prec()
             ).astype(dx_ref.dtype)
         else:
             dx_ref[pl.ds(base, block), :] = jnp.zeros(
@@ -589,7 +594,7 @@ def _dydx4_kernel_v3(meta: PermutoCellMeta, lc: int, tile: int, block: int,
                                        axis=1))
         dx_ref[pl.ds(base, block), :] = jnp.dot(
             delev, wmat_ref[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST
+                   precision=_B_prec()
         ).astype(dx_ref.dtype)
 
     for l in range(lc):
