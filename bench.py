@@ -344,6 +344,26 @@ def main():
     except Exception as e:
         print(f"# brick4 bench skipped: {e}", file=sys.stderr, flush=True)
 
+    # fast-math regime: bf16 kernel dots + one-hot MXU gather — the same
+    # precision class as the reference's fp16-param CUDA kernels (the 2.9
+    # GS/s baseline is fp32-in/fp16-params). Default kernels stay f32-exact
+    # (Precision.HIGHEST); this is the opt-in speed knob (set_fast_math).
+    if not cpu_fallback and not over_budget("fastmath"):
+        try:
+            B.set_fast_math(True)
+            detail["fwd_random_fastmath_gs"] = round(
+                measure(fwd, x_rand, table), 4)
+            print(f"# fwd_random_fastmath_gs = "
+                  f"{detail['fwd_random_fastmath_gs']}",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"# fastmath bench skipped: {e!r}", file=sys.stderr,
+                  flush=True)
+            detail["fwd_random_fastmath_gs_error"] = repr(e)[:300]
+        finally:
+            B.set_fast_math(False)
+        emit()
+
     # secondary encode workloads: frozen-x backward (radiance-style
     # training) and the 2nd-order nablas path (eikonal training)
     if not cpu_fallback:
