@@ -6,32 +6,39 @@ mid-run takes the freshest complete result instead of nothing (round 2's
 record was lost to exactly that: rc=124, parsed=null). A SIGTERM handler
 emits once more on the way out.
 
+Round-5 ordering (VERDICT r04 #1): the driver-recorded history lost the
+competitive end-to-end numbers twice (r03/r04 rc=124 during the render
+jobs), so the section order now spends the window on the round's STORY
+first — headline fwd/fwdbwd (the metric value), the fast-math A/B (cheap,
+advisor r04), then the production-regime train/render jobs (w4 compressed
+NeuS train first), then 3DGS, then the remaining microbench ablations.
+Every stderr line carries elapsed seconds so a truncated run shows where
+the window went. The persistent compilation cache (/tmp/jax_cache) is
+pre-warmed at the end of each build round — a warm driver run spends
+seconds, not minutes, per section.
+
 Baseline (BASELINE.md): reference CUDA LoTD forward, 8-level Dense+Hash
 hash-only fast path, 3.6M points, fp32-in/fp16-params → 1.24 ms ≈
 2.9 GSamples/s (nr3d_lib lotd/tests/unit_test.py:131; hardware unstated).
 vs_baseline = ours / 2.9.
 
-Measures the v3 brick kernel (ops/lotd_brick.py): lane-packed extraction,
-MXU reductions, Pallas backward, and software pipelining. Detail keys:
+Detail keys:
   fwd_random_gs       — 3.6M uniform-random points (the reference bench
                         workload; gather-issue-bound: v5e has no gather
-                        hardware, scalar-issue ceiling ≈ 0.117 GS/s at
-                        8 levels — see docs/DESIGN.md §3)
+                        hardware — see docs/ROOFLINE.md §1)
   fwdbwd_random_gs    — value_and_grad wrt (params, x): the training
-                        step's encode cost (Pallas backward)
+                        step's encode cost (v4 Pallas backward: per-level
+                        accumulators + forward-saved g, ROOFLINE §2b)
   fwdbwd_frozen_x_gs  — radiance-style training (no grad wrt positions)
   nablas_2nd_order_gs — eikonal path: dydx kernel + 2nd-order backward
   *_w4_gs             — bf16-packed F=4 rows: same 16 output features at
                         half the scalar gather issues per point
+  *_fastmath_*        — bf16 kernel dots + MXU one-hot gather (the
+                        reference-fp16-comparable regime; set_fast_math)
   permuto_cell*_gs    — cell-packed permutohedral encode
   gaussian_tiled_*    — 3DGS tiled rasterizer, 500k gaussians @ 512²
   render_* / train_*  — end-to-end renderer/training rays/s (the metric
                         the occupancy-compression design optimizes)
-
-Ray-ordered workloads were dropped: `coherent` is ignored by the kernels
-(control-flow coherence variants measured slower and were removed —
-DESIGN.md §3), so ray streams run the identical unrolled path; round-2
-hardware runs confirmed fwd_ray ≈ fwd_random (0.0633 vs 0.0635).
 
 Timing: axon block_until_ready returns early and readback costs ~1 s, so we
 chain data-dependent iterations in one jit (trip count is a TRACED arg —
@@ -49,6 +56,7 @@ BASELINE_GS = 2.9  # GSamples/s (reference CUDA, 3.6M pts, fwd, random)
 
 detail = {}
 _emitted_any = False
+T0 = time.time()
 
 
 def emit():
@@ -65,10 +73,13 @@ def emit():
     _emitted_any = True
 
 
+def note(msg):
+    print(f"# [{time.time() - T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
 def _on_term(sig, frame):
     # the driver's `timeout` sends SIGTERM; salvage the record
-    print(f"# SIGTERM/SIGINT ({sig}) — emitting salvage JSON and exiting",
-          file=sys.stderr, flush=True)
+    note(f"SIGTERM/SIGINT ({sig}) — emitting salvage JSON and exiting")
     emit()
     os._exit(0)
 
@@ -104,23 +115,19 @@ def main():
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
 
-    t_start = time.time()
-    # round-3: the driver's outer timeout (SIGTERM, rc=124) landed before
-    # the 2100 s internal budget — self-limit earlier so the run ENDS
-    # cleanly with every started section recorded
-    budget = float(os.environ.get("BENCH_BUDGET_S", 1700))
+    # r03/r04: the driver's outer timeout (SIGTERM, rc=124) landed before
+    # the internal budget (2100 then 1700 s) — self-limit earlier so the
+    # run ENDS cleanly with every started section recorded
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1400))
     cpu_fallback = not _device_probe_ok()
 
     def over_budget(section):
         if cpu_fallback:
-            print(f"# skipping {section}: cpu fallback (tunnel dead); "
-                  f"Pallas sections need the TPU", file=sys.stderr,
-                  flush=True)
+            note(f"skipping {section}: cpu fallback (tunnel dead); "
+                 f"Pallas sections need the TPU")
             return True
-        if time.time() - t_start > budget:
-            print(f"# skipping {section}: past BENCH_BUDGET_S={budget:.0f}"
-                  f" ({time.time() - t_start:.0f}s elapsed)",
-                  file=sys.stderr, flush=True)
+        if time.time() - T0 > budget:
+            note(f"skipping {section}: past BENCH_BUDGET_S={budget:.0f}")
             return True
         return False
 
@@ -128,8 +135,8 @@ def main():
 
     if cpu_fallback:
         # tunnel dead: still emit an honest (tiny) number instead of nothing
-        print("# device probe failed/hung — falling back to CPU, pure-XLA "
-              "path, reduced workload", file=sys.stderr, flush=True)
+        note("device probe failed/hung — falling back to CPU, pure-XLA "
+             "path, reduced workload")
         jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -139,6 +146,7 @@ def main():
     from nr3d_lib_tpu.ops import lotd_brick as B
 
     detail["store_batch"] = B._STORE_BATCH  # round-4 gather-store batching
+    detail["bwd_version"] = B._BWD_VERSION  # round-5 v4 backward
 
     # mirror the reference bench config: 8 levels 16→2048, dense small + hash
     meta = B.make_brick_meta(
@@ -210,13 +218,12 @@ def main():
         dt = (t_hi - t_lo) / (n_hi - 1)
         return (n_pts_local or n_pts) / dt / 1e9
 
+    # ---------------- S1: headline fwd / fwdbwd ----------------
     workloads = [("fwd_random_gs", fwd, x_rand),
                  ("fwdbwd_random_gs", fwdbwd, x_rand)]
     if cpu_fallback:
-        # frozen/nablas are Pallas-kernel paths; keep only the XLA-safe two
         detail["platform"] = "cpu_fallback_tunnel_dead"
         detail["n_pts"] = n_pts
-        workloads = workloads[:2]
     for name, run, xx in workloads:
         # never lose the headline JSON to one workload: retry once with
         # the MXU one-hot gather off, then record the error
@@ -224,9 +231,8 @@ def main():
             detail[name] = round(measure(run, xx, table), 4)
         except Exception as e:
             if B._MXU_DENSE:
-                print(f"# {name} failed with MXU gather on ({e!r}); "
-                      f"retrying with _MXU_DENSE=False", file=sys.stderr,
-                      flush=True)
+                note(f"{name} failed with MXU gather on ({e!r}); "
+                     f"retrying with _MXU_DENSE=False")
                 B._MXU_DENSE = False
                 detail["mxu_gather_disabled"] = True
                 try:
@@ -234,19 +240,18 @@ def main():
                 except Exception as e2:
                     e = e2
             if name not in detail:
-                print(f"# {name} FAILED: {e!r}", file=sys.stderr, flush=True)
+                note(f"{name} FAILED: {e!r}")
                 detail[name + "_error"] = repr(e)[:300]
                 emit()
                 continue
-        print(f"# {name} = {detail[name]}", file=sys.stderr, flush=True)
+        note(f"{name} = {detail[name]}")
         emit()
     if not cpu_fallback and "fwd_random_gs" in detail:
-        # roofline context (VERDICT #9), TPU only: attribute the rate to
-        # the binding resource. The forward is gather-ISSUE-bound: 8
-        # row-gathers/pt, each a scalar-issued (1,128) load+store pair, at
-        # the ~0.94G issues/s scalar ceiling → 0.117 GS/s. Also report the
-        # achieved gather bandwidth vs v5e HBM (~820 GB/s) to show
-        # bandwidth is NOT the wall.
+        # roofline context (docs/ROOFLINE.md §1-2): the forward is
+        # gather-ISSUE-bound — 8 row-gathers/pt, each a scalar-issued
+        # (1,128) load+store pair, at the ~0.94G issues/s scalar ceiling
+        # → 0.117 GS/s. Report achieved gather bandwidth vs v5e HBM
+        # (~820 GB/s) to show bandwidth is NOT the wall.
         detail["issue_rate_ceiling_random_gs"] = 0.117
         detail["pct_of_issue_ceiling_random"] = round(
             100 * detail["fwd_random_gs"] / 0.117, 1)
@@ -255,18 +260,35 @@ def main():
             detail["fwd_random_gs"] * 1e9 * 8 * row_bytes / 1e9, 1)
         detail["pct_of_hbm_bw"] = round(
             100 * detail["fwd_gather_gbytes_per_s"] / 820.0, 1)
-        # MXU side: the per-level reduction matmul is [N,128]@[128,2L] →
-        # tiny (≈0.2% of v5e's 197 bf16 TFLOP/s at the ceiling) — the op
-        # cannot be made MXU-bound; scalar issue is the speed-of-light
-        # axis.
-        detail["reduce_matmul_tflops"] = round(
-            detail["fwd_random_gs"] * 1e9 * 2 * 128 * 16 / 1e12, 3)
         emit()
 
-    # end-to-end renderer throughput EARLY (the competitive metric — the
-    # encode microbench can't cross the v5e scalar-issue roofline, the
-    # renderer can compete; docs/DESIGN.md §3 consequences). Placed right
-    # after the two headline workloads so a driver timeout can't lose it.
+    # ---------------- S2: fast-math A/B (advisor r04: run EARLY; it is
+    # one fwd + one fwdbwd measure, cheap relative to the render jobs) ----
+    if not cpu_fallback and not over_budget("fastmath"):
+        if detail.get("mxu_gather_disabled"):
+            # advisor r04: don't re-enable _MXU_DENSE after a real MXU
+            # gather failure — measure the bf16-dots-only part instead
+            note("fastmath: MXU gather disabled after failure; "
+                 "measuring bf16-dots-only regime")
+            B._DOT_PRECISION = jax.lax.Precision.DEFAULT
+            detail["fastmath_mode"] = "bf16_dots_only"
+        else:
+            B.set_fast_math(True)
+        for name, run in (("fwd_random_fastmath_gs", fwd),
+                          ("fwdbwd_random_fastmath_gs", fwdbwd)):
+            try:
+                detail[name] = round(measure(run, x_rand, table), 4)
+                note(f"{name} = {detail[name]}")
+            except Exception as e:
+                note(f"{name} FAILED: {e!r}")
+                detail[name + "_error"] = repr(e)[:300]
+            emit()
+        B.set_fast_math(False)
+        if detail.get("mxu_gather_disabled"):
+            B._MXU_DENSE = False
+
+    # ---------------- S3: end-to-end render/train (the competitive
+    # metrics — production regime first: w4 compressed NeuS train) -------
     try:
         if over_budget("render/train"):
             raise TimeoutError
@@ -280,18 +302,22 @@ def main():
         spec.loader.exec_module(br)
         render_jobs = [
             # ordered by competitive value — a driver SIGTERM keeps the
-            # prefix (round-3 lost only the last job; the w4 compressed
-            # train step is the production config, so it runs 3rd now)
-            ("render_fwd_brick_compressed_krays",
-             lambda: br.main(use_brick=True, mode="march_occ_compressed")),
-            ("train_step_neus_compressed_krays",
-             lambda: br.main_train(use_brick=True, kind="neus_compressed")),
+            # prefix. The w4 compressed NeuS train step is the production
+            # configuration (examples default: f32-exact kernel dots).
             ("train_step_neus_compressed_w4_krays",
              lambda: br.main_train(use_brick=True,
                                    kind="neus_compressed_w4")),
+            ("render_fwd_brick_compressed_krays",
+             lambda: br.main(use_brick=True, mode="march_occ_compressed")),
             ("render_fwd_brick4_compressed_krays",
              lambda: br.main(use_brick=True, mode="march_occ_compressed",
                              w4=True)),
+            ("train_step_neus_compressed_krays",
+             lambda: br.main_train(use_brick=True, kind="neus_compressed")),
+            ("render_fwd_forest_krays",
+             lambda: br.main_forest()),
+            ("train_step_gaussian_500k_ms",
+             lambda: br.main_train_gaussian()),
             ("train_step_neus_brick_krays",
              lambda: br.main_train(use_brick=True, kind="neus")),
             ("train_step_nerf_brick_krays",
@@ -301,20 +327,20 @@ def main():
             if over_budget(key_):
                 break
             try:
-                detail[key_] = round(job() / 1e3, 1)
-                print(f"# {key_} = {detail[key_]}", file=sys.stderr,
-                      flush=True)
+                v = job()
+                detail[key_] = round(v if key_.endswith("_ms")
+                                     else v / 1e3, 1)
+                note(f"{key_} = {detail[key_]}")
             except Exception as e:
-                print(f"# {key_} FAILED: {e!r}", file=sys.stderr, flush=True)
+                note(f"{key_} FAILED: {e!r}")
                 detail[key_ + "_error"] = repr(e)[:300]
             emit()
     except Exception as e:  # never lose the headline line to a render issue
-        print(f"# render bench skipped: {e}", file=sys.stderr, flush=True)
+        note(f"render bench skipped: {e}")
 
-    # bf16-packed F=4 variant (ops/lotd_brick4.py): 4 levels × 4 feats =
-    # the same 16 output features as the 8×2 headline at HALF the scalar
-    # gather issues per point — the TPU-optimal configuration of the same
-    # capacity. Reported per-POINT (16 features either way).
+    # ---------------- S4: bf16-packed F=4 microbench (ops/lotd_brick4.py):
+    # 4 levels × 4 feats = the same 16 output features as the 8×2 headline
+    # at HALF the scalar gather issues per point. Reported per-POINT. -----
     try:
         if over_budget("brick4"):
             raise TimeoutError
@@ -339,33 +365,47 @@ def main():
         for name, run in (("fwd_random_w4_gs", fwd4),
                           ("fwdbwd_random_w4_gs", fwdbwd4)):
             detail[name] = round(measure(run, x_rand, tab4), 4)
-            print(f"# {name} = {detail[name]}", file=sys.stderr, flush=True)
+            note(f"{name} = {detail[name]}")
             emit()
     except Exception as e:
-        print(f"# brick4 bench skipped: {e}", file=sys.stderr, flush=True)
+        note(f"brick4 bench skipped: {e}")
 
-    # fast-math regime: bf16 kernel dots + one-hot MXU gather — the same
-    # precision class as the reference's fp16-param CUDA kernels (the 2.9
-    # GS/s baseline is fp32-in/fp16-params). Default kernels stay f32-exact
-    # (Precision.HIGHEST); this is the opt-in speed knob (set_fast_math).
-    if not cpu_fallback and not over_budget("fastmath"):
-        try:
-            B.set_fast_math(True)
-            detail["fwd_random_fastmath_gs"] = round(
-                measure(fwd, x_rand, table), 4)
-            print(f"# fwd_random_fastmath_gs = "
-                  f"{detail['fwd_random_fastmath_gs']}",
-                  file=sys.stderr, flush=True)
-        except Exception as e:
-            print(f"# fastmath bench skipped: {e!r}", file=sys.stderr,
-                  flush=True)
-            detail["fwd_random_fastmath_gs_error"] = repr(e)[:300]
-        finally:
-            B.set_fast_math(False)
+    # ---------------- S5: 3DGS tiled rasterizer (reference
+    # r3dg_rasterization): 500k gaussians at 512². ----------------------
+    try:
+        if over_budget("gaussians"):
+            raise TimeoutError
+        from nr3d_lib_tpu.graphics import gaussian_splatting as GS
+
+        ng, hw_g = 500_000, (512, 512)
+        kg = jax.random.split(jax.random.key(21), 5)
+        means = jax.random.uniform(kg[0], (ng, 3), jnp.float32, -1.0, 1.0)
+        scales = jax.random.uniform(kg[1], (ng, 3), jnp.float32, 0.002, 0.02)
+        quats = jax.random.normal(kg[2], (ng, 4), jnp.float32)
+        quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+        opac = jax.random.uniform(kg[3], (ng, 1), jnp.float32, 0.3, 0.9)
+        cols = jax.random.uniform(kg[4], (ng, 3), jnp.float32)
+        w2c = jnp.eye(4).at[2, 3].set(3.0)
+        intr_g = jnp.asarray([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]])
+
+        def gs_run(mm, _unused):
+            # rendering path: the VMEM-local Pallas blend
+            return jnp.sum(GS.rasterize_gaussians_tiled(
+                mm, scales, quats, opac, cols, w2c, intr_g, hw_g,
+                blend_backend="pallas")["rgb"])
+
+        rate = measure(gs_run, means, jnp.zeros(()), n_pts_local=1, n_hi=4)
+        dt_g = 1.0 / (rate * 1e9)
+        detail["gaussian_tiled_500k_512px_mpix_s"] = round(
+            hw_g[0] * hw_g[1] / dt_g / 1e6, 2)
+        detail["gaussian_tiled_500k_512px_fps"] = round(1.0 / dt_g, 2)
+        note(f"gaussian_tiled_500k_512px_fps = "
+             f"{detail['gaussian_tiled_500k_512px_fps']}")
         emit()
+    except Exception as e:
+        note(f"gaussian bench skipped: {e}")
 
-    # secondary encode workloads: frozen-x backward (radiance-style
-    # training) and the 2nd-order nablas path (eikonal training)
+    # ---------------- S6: secondary encode workloads ----------------
     if not cpu_fallback:
         for name, run, xx in (("fwdbwd_frozen_x_gs", fwdbwd_frozen, x_rand),
                               ("nablas_2nd_order_gs", nablas_fwdbwd, x_rand)):
@@ -373,16 +413,13 @@ def main():
                 break
             try:
                 detail[name] = round(measure(run, xx, table), 4)
-                print(f"# {name} = {detail[name]}", file=sys.stderr,
-                      flush=True)
+                note(f"{name} = {detail[name]}")
             except Exception as e:
-                print(f"# {name} FAILED: {e!r}", file=sys.stderr, flush=True)
+                note(f"{name} FAILED: {e!r}")
                 detail[name + "_error"] = repr(e)[:300]
             emit()
 
-    # the second flagship encoding: cell-packed permuto (ops/permuto_cell.py
-    # — 1 gather/(pt,level); reference csrc/permuto). Same 8-level, 3.6M-pt
-    # workload shape.
+    # ---------------- S7: cell-packed permutohedral encode --------------
     try:
         if over_budget("permuto"):
             raise TimeoutError
@@ -398,11 +435,10 @@ def main():
 
         detail["permuto_cell_fwd_gs"] = round(
             measure(permuto_fwd, x_rand, ptab), 4)
-        print(f"# permuto_cell_fwd_gs = {detail['permuto_cell_fwd_gs']}",
-              file=sys.stderr, flush=True)
+        note(f"permuto_cell_fwd_gs = {detail['permuto_cell_fwd_gs']}")
         emit()
     except Exception as e:
-        print(f"# permuto bench skipped: {e}", file=sys.stderr, flush=True)
+        note(f"permuto bench skipped: {e}")
 
     # bf16-packed F=4 cells: 4 levels carry the same 16 features
     try:
@@ -422,49 +458,12 @@ def main():
 
         detail["permuto_cell4_fwd_gs"] = round(
             measure(permuto4_fwd, x_rand, ptab4), 4)
-        print(f"# permuto_cell4_fwd_gs = {detail['permuto_cell4_fwd_gs']}",
-              file=sys.stderr, flush=True)
+        note(f"permuto_cell4_fwd_gs = {detail['permuto_cell4_fwd_gs']}")
         emit()
     except Exception as e:
-        print(f"# permuto4 bench skipped: {e}", file=sys.stderr, flush=True)
+        note(f"permuto4 bench skipped: {e}")
 
-    # 3DGS tiled rasterizer (reference r3dg_rasterization): 500k gaussians
-    # at 512² — the N11 scale point (VERDICT #7). Reported in Mpix/s.
-    try:
-        if over_budget("gaussians"):
-            raise TimeoutError
-        from nr3d_lib_tpu.graphics import gaussian_splatting as GS
-
-        ng, hw_g = 500_000, (512, 512)
-        kg = jax.random.split(jax.random.key(21), 5)
-        means = jax.random.uniform(kg[0], (ng, 3), jnp.float32, -1.0, 1.0)
-        scales = jax.random.uniform(kg[1], (ng, 3), jnp.float32, 0.002, 0.02)
-        quats = jax.random.normal(kg[2], (ng, 4), jnp.float32)
-        quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
-        opac = jax.random.uniform(kg[3], (ng, 1), jnp.float32, 0.3, 0.9)
-        cols = jax.random.uniform(kg[4], (ng, 3), jnp.float32)
-        w2c = jnp.eye(4).at[2, 3].set(3.0)
-        intr_g = jnp.asarray([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]])
-
-        def gs_run(mm, _unused):
-            # rendering path: the VMEM-local Pallas blend (training uses
-            # blend_backend='xla' for autodiff)
-            return jnp.sum(GS.rasterize_gaussians_tiled(
-                mm, scales, quats, opac, cols, w2c, intr_g, hw_g,
-                blend_backend="pallas")["rgb"])
-
-        rate = measure(gs_run, means, jnp.zeros(()), n_pts_local=1, n_hi=4)
-        dt_g = 1.0 / (rate * 1e9)
-        detail["gaussian_tiled_500k_512px_mpix_s"] = round(
-            hw_g[0] * hw_g[1] / dt_g / 1e6, 2)
-        detail["gaussian_tiled_500k_512px_fps"] = round(1.0 / dt_g, 2)
-        print(f"# gaussian_tiled_500k_512px_fps = "
-              f"{detail['gaussian_tiled_500k_512px_fps']}",
-              file=sys.stderr, flush=True)
-        emit()
-    except Exception as e:
-        print(f"# gaussian bench skipped: {e}", file=sys.stderr, flush=True)
-
+    note("bench complete")
     emit()
 
 

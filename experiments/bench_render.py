@@ -254,6 +254,144 @@ def main_train(use_brick: bool = False, kind: str = "nerf",
     return n_rays / dt
 
 
+def main_forest(n_rays: int = 8192):
+    """Forest (large-scale block-decomposed) render throughput: 64-block
+    forest, brick-backend per-block LoTD, segmented occ marching +
+    importance upsampling + budget compaction (reference
+    fields_forest/neus/renderer_mixin.py:274)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from nr3d_lib_tpu.models.fields_forest import LoTDForestNeuSModel
+
+    m = LoTDForestNeuSModel(
+        space_cfg={"resolution": (4, 4, 4), "origin": (-1.0, -1.0, -1.0),
+                   "block_size": 0.5},
+        field_cfg={"surface_cfg": {
+            "lotd_cfg": {"lod_res": [8, 16, 32], "lod_n_feats": 2,
+                         "lod_types": ["Dense", "Dense", "Hash"],
+                         "hashmap_size": 2 ** 12, "backend": "brick"},
+            "decoder_cfg": {"D": 1, "W": 64}},
+            "radiance_cfg": {"D": 2, "W": 64}},
+        n_march_steps=128, march_mode="segments",
+        max_segments=8, steps_per_segment=16)
+    m.populate()
+    graphdef, state = nnx.split(m)
+
+    k1, k2 = jax.random.split(jax.random.key(0))
+    o = jax.random.normal(k1, (n_rays, 3))
+    o = o / jnp.linalg.norm(o, axis=-1, keepdims=True) * 2.5
+    d = -o / 2.5 + jax.random.normal(k2, (n_rays, 3)) * 0.1
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    def render(st, oo, dd):
+        mm = nnx.merge(graphdef, st)
+        r, _ = mm.ray_query(mm.ray_test(oo, dd))
+        return r["rgb_volume"]
+
+    def chain(n):
+        def chained(c, st, oo, dd):
+            def body(i, carry):
+                cc, acc = carry
+                y = render(st, oo * (1.0 + cc * 1e-30), dd)
+                s = jnp.sum(y.astype(jnp.float32))
+                return s * 1e-30, acc + s
+
+            return jax.lax.fori_loop(0, n, body, (c, 0.0))[1]
+
+        return jax.jit(chained)
+
+    f_lo, f_hi = chain(1), chain(5)
+    float(f_lo(0.0, state, o, d))
+    float(f_hi(0.0, state, o, d))
+
+    def t(f):
+        t0 = time.perf_counter()
+        float(f(0.0, state, o, d))
+        return time.perf_counter() - t0
+
+    dt = (min(t(f_hi) for _ in range(3)) - min(t(f_lo) for _ in range(3))) / 4
+    print(f"render fwd (forest 64 blocks, segments): "
+          f"{dt*1e3:.2f} ms / {n_rays} rays -> {n_rays/dt/1e3:.1f} Krays/s",
+          file=sys.stderr)
+    return n_rays / dt
+
+
+def main_train_gaussian(n_gauss: int = 500_000, hw=(512, 512)):
+    """3DGS training-step time (fwd+bwd+adam on all gaussian params)
+    through the tiled rasterizer — reference r3dg rasterize_gaussians_backward
+    (cuda_rasterizer/backward.cu). Returns ms/step."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import optax
+
+    from nr3d_lib_tpu.graphics import gaussian_splatting as GS
+
+    kg = jax.random.split(jax.random.key(21), 5)
+    params = {
+        "means": jax.random.uniform(kg[0], (n_gauss, 3), jnp.float32,
+                                    -1.0, 1.0),
+        "scales": jax.random.uniform(kg[1], (n_gauss, 3), jnp.float32,
+                                     0.002, 0.02),
+        "quats": jax.random.normal(kg[2], (n_gauss, 4), jnp.float32),
+        "opac": jax.random.uniform(kg[3], (n_gauss, 1), jnp.float32,
+                                   0.3, 0.9),
+        "cols": jax.random.uniform(kg[4], (n_gauss, 3), jnp.float32),
+    }
+    w2c = jnp.eye(4).at[2, 3].set(3.0)
+    intr = jnp.asarray([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]])
+    gt = jax.random.uniform(jax.random.key(3), (hw[0], hw[1], 3))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    def step(p, os_, gt_):
+        def loss_fn(pp):
+            out = GS.rasterize_gaussians_tiled(
+                pp["means"], pp["scales"],
+                pp["quats"] / jnp.linalg.norm(pp["quats"], axis=-1,
+                                              keepdims=True),
+                pp["opac"], pp["cols"], w2c, intr, hw,
+                blend_backend="pallas")
+            return jnp.mean((out["rgb"] - gt_) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        upd, os2 = opt.update(g, os_)
+        return optax.apply_updates(p, upd), os2, loss
+
+    def chain(n):
+        def chained(c, p, os_, gt_):
+            def body(i, carry):
+                cc, pp, ss = carry
+                pp, ss, loss = step(pp, ss, gt_ * (1.0 + cc * 1e-30))
+                return loss * 1e-30, pp, ss
+
+            out = jax.lax.fori_loop(0, n, body, (c, p, os_))
+            return out[0] + jax.tree.leaves(out[1])[0].ravel()[0] * 1e-30
+
+        return jax.jit(chained)
+
+    f_lo, f_hi = chain(1), chain(3)
+    float(f_lo(0.0, params, opt_state, gt))
+    float(f_hi(0.0, params, opt_state, gt))
+
+    def t(f):
+        t0 = time.perf_counter()
+        float(f(0.0, params, opt_state, gt))
+        return time.perf_counter() - t0
+
+    dt = (min(t(f_hi) for _ in range(3)) - min(t(f_lo) for _ in range(3))) / 2
+    print(f"3DGS train step ({n_gauss} gaussians @ {hw[0]}x{hw[1]}): "
+          f"{dt*1e3:.1f} ms/step", file=sys.stderr)
+    return dt * 1e3
+
+
 if __name__ == "__main__":
     mode = "march_occ"
     if "--mode" in sys.argv:

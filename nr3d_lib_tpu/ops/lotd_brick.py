@@ -437,9 +437,9 @@ def _mxu_rows(meta, table_ref, rowsv_ref, base, block, l):
                    ).astype(table_ref.dtype)
 
 
-def _fwd_kernel_v3(meta: BrickMeta, tile: int, block: int,
+def _fwd_kernel_v3(meta: BrickMeta, tile: int, block: int, want_g: bool,
                    rows_ref, lane_ref, frac_ref, rowsv_ref, table_ref,
-                   m_ref, out_ref, buf_a, buf_b):
+                   m_ref, *refs):
     """Software-pipelined forward: while the VPU extracts block j from one
     buffer, the scalar core gathers block j+1's rows into the other.
 
@@ -450,9 +450,19 @@ def _fwd_kernel_v3(meta: BrickMeta, tile: int, block: int,
     of block j's 8 extraction steps is preceded by block j+1's level-l
     gather burst, giving the scheduler alternating scalar/vector chunks with
     no same-ref hazards (A/B buffers alternate by block parity).
+
+    want_g: additionally store the lane-packed corner values g [tile,128]
+    (one aligned vector store per block — ~0.5 cyc/pt). The v4 backward
+    reads g back instead of re-issuing the 8 scalar gathers per point,
+    which is the training path's single largest scalar cost.
     """
     from jax.experimental import pallas as pl
 
+    if want_g:
+        out_ref, g_out_ref, buf_a, buf_b = refs
+    else:
+        out_ref, buf_a, buf_b = refs
+        g_out_ref = None
     L = meta.n_levels
     nblk = tile // block
     assert nblk % 2 == 0
@@ -492,6 +502,8 @@ def _fwd_kernel_v3(meta: BrickMeta, tile: int, block: int,
                 rows = buf[pl.ds(l * block, block), :]
             g_l = jnp.take_along_axis(rows, wanted, axis=1)
             g = jnp.where(lvl == l, g_l, g)
+        if g_out_ref is not None:
+            g_out_ref[pl.ds(base, block), :] = g
         frac_pad = jnp.pad(frac_blk,
                            ((0, 0), (0, LANES - frac_blk.shape[1])))
         w = jnp.ones((block, LANES), buf.dtype)
@@ -770,6 +782,153 @@ def _bwd_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
     # epilogue: the last block's slab is staged in sbuf_b
     for l in range(L):
         scatter_level(sbuf_b, tile - block, l)
+
+
+def _bwd_kernel_v4(meta: BrickMeta, tile: int, block: int, need_dx: bool,
+                   *refs):
+    """Round-5 backward: per-LEVEL dL/dtable accumulators + no gather.
+
+    The v3 backward's cost anatomy (ROOFLINE.md §2b): ~71 cyc/pt, of
+    which ~8.9 cyc per (pt,level) is the dtab RMW — every `dtab[r] +=
+    slab` is a load→add→store chain on ONE ref, and Mosaic must order
+    consecutive RMWs conservatively (dynamic row indices could alias),
+    so the chains serialize at roughly the load-use latency. Two
+    structural changes break that wall:
+
+      1. dL/dtable is L separate output refs (one per level). The
+         scatter loop runs point-outer / level-inner, so consecutive
+         RMWs target *provably disjoint* refs and their latency chains
+         interleave — the per-point cost drops from L·latency toward
+         max(issue, latency).
+      2. The table gather is GONE: the forward stores its lane-packed
+         corner values g [N,128] (`want_g`), and this kernel reads them
+         back with one aligned vector load per block. That removes the
+         8 scalar row-loads/pt the v3 backward re-issued (need_dx), and
+         removes the 16 MB table from the kernel's VMEM footprint.
+
+    Semantics are identical to `_bwd_kernel_v3` (bit-exact per-level
+    sums: the RMW order within each level's ref is unchanged — block
+    order, point order). rows_ref here carries LEVEL-LOCAL row indices
+    (offsets subtracted by the wrapper).
+
+    Ref layout: rows, lane, frac, gup, [g, m if need_dx],
+    then outputs [dtab_0..dtab_{L-1}, dx], then scratch [sbuf_a, sbuf_b].
+    """
+    from jax.experimental import pallas as pl
+
+    L = meta.n_levels
+    nblk = tile // block
+    assert nblk % 2 == 0
+    if need_dx:
+        rows_ref, lane_ref, frac_ref, gup_ref, g_ref, m_ref = refs[:6]
+        rest = refs[6:]
+    else:
+        rows_ref, lane_ref, frac_ref, gup_ref = refs[:4]
+        g_ref = m_ref = None
+        rest = refs[4:]
+    dtab_refs = rest[:L]
+    dx_ref = rest[L]
+    sbuf_a, sbuf_b = rest[L + 1:L + 3]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for dr in dtab_refs:
+            dr[:, :] = jnp.zeros_like(dr)
+
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+    lvl = jnp.minimum(lane_i >> 4, L - 1)
+    q = lane_i & 15
+    kq = q >> 1
+    bits = ((kq >> 2) & 1, (kq >> 1) & 1, kq & 1)
+    sb = max(_STORE_BATCH, 1)
+    CH = block // L                      # points scattered per interleave step
+    INNER = min(64, CH)
+
+    def scatter_chunk(sbuf, base, c):
+        # scatter points [c·CH, (c+1)·CH) of the block at `base` — ALL
+        # levels, point-outer level-inner: consecutive RMWs hit L distinct
+        # refs, so their load→add→store chains overlap.
+        def body(i, _):
+            n0 = c * CH + i * INNER
+            for k in range(0, INNER, sb):
+                blks = [sbuf[pl.ds(l * block + n0 + k, sb), :]
+                        for l in range(L)]
+                for i2 in range(sb):
+                    for l in range(L):
+                        r = rows_ref[l, base + n0 + k + i2]
+                        dtab_refs[l][pl.ds(r, 1), :] = \
+                            dtab_refs[l][pl.ds(r, 1), :] + blks[l][i2:i2 + 1, :]
+            return 0
+
+        jax.lax.fori_loop(0, CH // INNER, body, 0)
+
+    def process(sbuf, base, prev_sbuf, prev_base):
+        """Build block `base`'s slabs (+dx) while scattering `prev_base`."""
+        lane_blk = lane_ref[pl.ds(base, block), :]
+        frac_blk = frac_ref[pl.ds(base, block), :]
+        gup_blk = gup_ref[pl.ds(base, block), :]
+        lane_pad = jnp.pad(lane_blk,
+                           ((0, 0), (0, LANES - lane_blk.shape[1])))
+        frac_pad = jnp.pad(frac_blk,
+                           ((0, 0), (0, LANES - frac_blk.shape[1])))
+        gup_pad = jnp.pad(gup_blk, ((0, 0), (0, LANES - gup_blk.shape[1])))
+        gb = jnp.take_along_axis(gup_pad, lvl * 2 + (lane_i & 1), axis=1)
+
+        s = []
+        for a, bit in enumerate(bits):
+            f_a = jnp.take_along_axis(
+                frac_pad, jnp.minimum(3 * lvl + a, LANES - 1), axis=1)
+            s.append(jnp.where(bit > 0, f_a, 1.0 - f_a))
+        w = s[0] * s[1] * s[2]
+        contrib = gb * w
+        for l in range(L):
+            lane0_l = jnp.take_along_axis(
+                lane_pad, jnp.full((block, LANES), l, jnp.int32), axis=1)
+            d = lane_i - lane0_l
+            valid = (d >= 0) & (d <= 43) & ((d & 0b0010100) == 0)
+            dxb_ = (d >> 5) & 1
+            dyb_ = (d >> 3) & 1
+            dzb_ = (d >> 1) & 1
+            qinv = dxb_ * 8 + dyb_ * 4 + dzb_ * 2 + (d & 1)
+            src = jnp.clip(l * 16 + qinv, 0, LANES - 1)
+            sbuf[pl.ds(l * block, block), :] = jnp.where(
+                valid, jnp.take_along_axis(contrib, src, axis=1), 0.0)
+
+            @pl.when(prev_base >= 0)
+            def _(l=l):
+                scatter_chunk(prev_sbuf, prev_base, l)
+
+        if need_dx:
+            g = g_ref[pl.ds(base, block), :]
+            h = gb * g
+            tx = h * s[1] * s[2]
+            ty = h * s[0] * s[2]
+            tz = h * s[0] * s[1]
+            dx0 = jnp.dot(tx, m_ref[:, 0:1],
+                          preferred_element_type=jnp.float32,
+                          precision=_DOT_PRECISION)
+            dx1 = jnp.dot(ty, m_ref[:, 1:2],
+                          preferred_element_type=jnp.float32,
+                          precision=_DOT_PRECISION)
+            dx2 = jnp.dot(tz, m_ref[:, 2:3],
+                          preferred_element_type=jnp.float32,
+                          precision=_DOT_PRECISION)
+            dx_ref[pl.ds(base, block), :] = jnp.concatenate(
+                [dx0, dx1, dx2], axis=-1).astype(dx_ref.dtype)
+        else:
+            dx_ref[pl.ds(base, block), :] = jnp.zeros(
+                (block, 3), dx_ref.dtype)
+
+    def body(j, _):
+        b0 = 2 * j * block
+        process(sbuf_a, b0, sbuf_b, b0 - block)
+        process(sbuf_b, b0 + block, sbuf_a, b0)
+        return 0
+
+    jax.lax.fori_loop(0, nblk // 2, body, 0)
+    # epilogue: the last block's slabs are staged in sbuf_b
+    for c in range(L):
+        scatter_chunk(sbuf_b, tile - block, c)
 
 
 def _aux_patterns(meta: BrickMeta) -> np.ndarray:
@@ -1185,6 +1344,10 @@ def set_fast_math(enable: bool = True):
 
 
 _MAX_CHUNK = 1 << 19  # Mosaic crashes on very large per-call shapes
+_BWD_VERSION = 4      # 4 = per-level accumulators + gather-free (reads the
+                      # forward's saved g); 3 = software-pipelined RMW on
+                      # one dtab ref (kept for batched/forest rows and as
+                      # the fallback when _v4_ok() fails)
 _FWD_VERSION = 3      # 3 = software-pipelined fwd kernel; 2 = phase-serial
 _MXU_DENSE = False    # fetch small levels via one-hot MXU matmul.
                       # OFF by default since round 4: kernel dots now run
@@ -1262,7 +1425,7 @@ def _brick_encode_pallas_impl(x: Array, table: Array, meta: BrickMeta,
 
     block = _FWD_BLOCK
     if _FWD_VERSION == 3 and tile % (2 * block) == 0:
-        kernel = functools.partial(_fwd_kernel_v3, meta, tile, block)
+        kernel = functools.partial(_fwd_kernel_v3, meta, tile, block, False)
         scratch = [pltpu.VMEM((L * block, LANES), table.dtype),
                    pltpu.VMEM((L * block, LANES), table.dtype)]
         out = pl.pallas_call(
@@ -1415,6 +1578,160 @@ def _brick_bwd_pallas_impl(x: Array, table: Array, g_up: Array,
     return dx[:n], dtab
 
 
+def _pad8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _v4_ok(meta: BrickMeta, tile: int = 2048) -> bool:
+    """v4 backward eligibility: the interleaved scatter needs the block to
+    split evenly into L chunks of store-batch-aligned length (fallback v3
+    otherwise — correctness is never gated on v4)."""
+    if _BWD_VERSION != 4 or _FWD_VERSION != 3:
+        return False
+    block = _FWD_BLOCK
+    L = meta.n_levels
+    if tile % (2 * block) != 0 or block % L != 0:
+        return False
+    ch = block // L
+    inner = min(64, ch)
+    sb = max(_STORE_BATCH, 1)
+    return ch % inner == 0 and inner % sb == 0
+
+
+def _brick_encode_pallas_g(x: Array, table: Array, meta: BrickMeta,
+                           tile: int = 2048, interpret: bool = False
+                           ) -> Tuple[Array, Array]:
+    """Forward + lane-packed corner values g [N,128] (v4-backward residual)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n0 = x.shape[0]
+    if n0 > _MAX_CHUNK:
+        from nr3d_lib_tpu.ops.chunking import loop_chunks
+
+        def body(xc):
+            return _brick_encode_pallas_g(xc, table, meta, tile,
+                                          interpret), ()
+
+        (out, gpk), _ = loop_chunks(body, (x,), n0, _MAX_CHUNK)
+        return out, gpk
+    x, n = _pad_points(x, tile)
+    n_pad = x.shape[0]
+    L = meta.n_levels
+    rows, lane_c, frac_c = _prologue(x, meta, table.dtype, tile)
+    m_red = jnp.asarray(_reduce_matrix(L), table.dtype)
+    block = _FWD_BLOCK
+    kernel = functools.partial(_fwd_kernel_v3, meta, tile, block, True)
+    scratch = [pltpu.VMEM((L * block, LANES), table.dtype),
+               pltpu.VMEM((L * block, LANES), table.dtype)]
+    out, gpk = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((L, tile), lambda i: (0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, L), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
+            pl.BlockSpec((tile, L), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, 2 * L), lambda i: (i, 0)),
+            pl.BlockSpec((tile, LANES), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 2 * L), table.dtype),
+            jax.ShapeDtypeStruct((n_pad, LANES), table.dtype),
+        ),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(rows, lane_c, frac_c, rows.T, table, m_red)
+    return out[:n], gpk[:n]
+
+
+def _brick_bwd_pallas_v4(x: Array, g_packed, g_up: Array,
+                         meta: BrickMeta, dtype,
+                         tile: int = 2048, interpret: bool = False,
+                         need_dx: bool = True) -> Tuple[Array, Array]:
+    """v4 Pallas backward (per-level accumulators, gather-free).
+
+    g_packed: [N,128] corner values from `_brick_encode_pallas_g`
+    (None when need_dx=False — the frozen-x path needs only weights).
+    Returns (dL/dx [N,3], dL/dtable [total_rows,128])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n0 = x.shape[0]
+    if n0 > _MAX_CHUNK:
+        from nr3d_lib_tpu.ops.chunking import scan_chunks
+
+        per_point = (x, g_up) if g_packed is None else (x, g_up, g_packed)
+
+        def body(xc, gc, *rest):
+            dx_i, dt_i = _brick_bwd_pallas_v4(
+                xc, rest[0] if rest else None, gc, meta, dtype, tile,
+                interpret, need_dx)
+            return (dx_i,), (dt_i,)
+
+        (dx,), (dtab,) = scan_chunks(
+            body, per_point, n0, _MAX_CHUNK,
+            sum_init=(jnp.zeros((meta.total_rows, LANES), dtype),))
+        return dx, dtab
+    x, n = _pad_points(x, tile)
+    n_pad = x.shape[0]
+    if g_up.shape[0] != n_pad:
+        g_up = jnp.pad(g_up, ((0, n_pad - g_up.shape[0]), (0, 0)))
+    if g_packed is not None and g_packed.shape[0] != n_pad:
+        g_packed = jnp.pad(g_packed,
+                           ((0, n_pad - g_packed.shape[0]), (0, 0)))
+    L = meta.n_levels
+    rows, lane_c, frac_c = _prologue(x, meta, dtype, tile)
+    # level-LOCAL row indices for the per-level accumulators
+    offs = jnp.asarray([lev.row_offset for lev in meta.levels],
+                       jnp.int32)[:, None]
+    rows = rows - offs
+    block = _FWD_BLOCK
+    kernel = functools.partial(_bwd_kernel_v4, meta, tile, block, need_dx)
+    scratch = [pltpu.VMEM((L * block, LANES), dtype) for _ in range(2)]
+    in_specs = [
+        pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.SMEM),
+        pl.BlockSpec((tile, L), lambda i: (i, 0)),
+        pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
+        pl.BlockSpec((tile, 2 * L), lambda i: (i, 0)),
+    ]
+    operands = [rows, lane_c, frac_c, g_up]
+    if need_dx:
+        in_specs += [pl.BlockSpec((tile, LANES), lambda i: (i, 0)),
+                     pl.BlockSpec(memory_space=pltpu.VMEM)]
+        operands += [g_packed, jnp.asarray(_dx_matrix(meta), dtype)]
+    out_specs = tuple(
+        pl.BlockSpec((_pad8(lev.n_rows), LANES), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for lev in meta.levels) + (
+        pl.BlockSpec((tile, 3), lambda i: (i, 0)),)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((_pad8(lev.n_rows), LANES), dtype)
+        for lev in meta.levels) + (
+        jax.ShapeDtypeStruct((n_pad, 3), dtype),)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    dtab = jnp.concatenate(
+        [d[:lev.n_rows] for d, lev in zip(outs[:L], meta.levels)], axis=0)
+    return outs[L][:n], dtab
+
+
 # ------------------------------------------------------------------ custom vjp
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def brick_encode(x: Array, table: Array, meta: BrickMeta,
@@ -1435,10 +1752,18 @@ def brick_encode(x: Array, table: Array, meta: BrickMeta,
 
 
 def _fwd(x, table, meta, use_pallas, coherent):
+    if use_pallas and jax.default_backend() == "tpu" and _v4_ok(meta):
+        # v4 training path: the forward also emits the lane-packed corner
+        # values g, so the backward never re-issues the table gathers
+        out, gpk = _brick_encode_pallas_g(x, table, meta)
+        return out, (x, table, gpk)
     return brick_encode(x, table, meta, use_pallas, coherent), (x, table)
 
 
 def _bwd(meta, use_pallas, coherent, res, g):
+    if len(res) == 3:
+        x, table, gpk = res
+        return _brick_bwd_pallas_v4(x, gpk, g, meta, table.dtype)
     x, table = res
     if use_pallas and jax.default_backend() == "tpu":
         return _brick_bwd_pallas(x, table, g, meta, coherent=coherent)
@@ -1468,7 +1793,11 @@ def _fwd_frozen(x, table, meta):
 def _bwd_frozen(meta, res, g):
     x, table = res
     if jax.default_backend() == "tpu":
-        _, dtab = _brick_bwd_pallas(x, table, g, meta, need_dx=False)
+        if _v4_ok(meta):
+            _, dtab = _brick_bwd_pallas_v4(x, None, g, meta, table.dtype,
+                                           need_dx=False)
+        else:
+            _, dtab = _brick_bwd_pallas(x, table, g, meta, need_dx=False)
         return jnp.zeros_like(x), dtab
     _, vjp_fn = jax.vjp(lambda tt: brick_encode_xla(x, tt, meta), table)
     return jnp.zeros_like(x), vjp_fn(g)[0]

@@ -199,6 +199,40 @@ def test_pallas_backward_interpret_mode(rng):
                                np.asarray(vjp_x(g)[0]), rtol=2e-4, atol=2e-3)
 
 
+def test_pallas_backward_v4_interpret_mode(rng):
+    """Round-5 v4 backward (per-level dL/dtable accumulators + forward-saved
+    g instead of a re-gather) vs the XLA vjp, in interpreter mode. Covers
+    the want_g forward, the need_dx path, and the frozen-x path."""
+    bmeta = B.make_brick_meta([16, 32, 64, 128],
+                              ["Dense", "Dense", "Hash", "Hash"],
+                              hashmap_rows=512)
+    table = jnp.asarray(rng.standard_normal((bmeta.total_rows, 128))
+                        .astype(np.float32))
+    n = 2048
+    x = jnp.asarray(rng.uniform(0.0, 0.999, (n, 3)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((n, 2 * bmeta.n_levels))
+                    .astype(np.float32))
+    y_ref, vjp = jax.vjp(lambda xx, tt: B.brick_encode_xla(xx, tt, bmeta),
+                         x, table)
+    dx_ref, dtab_ref = vjp(g)
+    with _block(256, 3, False):
+        assert B._v4_ok(bmeta)
+        y, gpk = B._brick_encode_pallas_g(x, table, bmeta, interpret=True)
+        dx, dtab = B._brick_bwd_pallas_v4(x, gpk, g, bmeta, table.dtype,
+                                          interpret=True)
+        dxf, dtabf = B._brick_bwd_pallas_v4(x, None, g, bmeta, table.dtype,
+                                            interpret=True, need_dx=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dtab), np.asarray(dtab_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dtabf), np.asarray(dtab_ref),
+                               rtol=1e-4, atol=1e-5)
+    assert float(jnp.max(jnp.abs(dxf))) == 0.0
+
+
 def test_pallas_second_order_interpret_mode(rng):
     """The dedicated 2nd-order Pallas pair (nablas kernel + its backward —
     reference kernel_lod_backward_input_backward_grid, lotd_encoding.h:765)
