@@ -147,6 +147,13 @@ class LoTDNeRFModel(nnx.Module, ModelMixin):
             return nerf_ray_query_march_occ_compressed(
                 self, self.accel, self.space, ray_tested, perturb_key=key,
                 with_rgb=with_rgb, **cfg)
+        if mode == "march_occ_multi_upsample_compressed":
+            from nr3d_lib_tpu.graphics.nerf_ray_query import (
+                nerf_ray_query_march_occ_multi_upsample_compressed)
+
+            return nerf_ray_query_march_occ_multi_upsample_compressed(
+                self, self.accel, self.space, ray_tested, perturb_key=key,
+                with_rgb=with_rgb, **cfg)
         raise ValueError(f"Unknown query_mode: {mode}")
 
 

@@ -220,3 +220,90 @@ def test_neus_compressed_default_keeps_far_occupied():
     assert acc_def > 0.9, acc_def                      # surface rendered
     assert abs(dep_def - 2.55) < 0.1, dep_def          # at the right depth
     assert acc_half < 0.1, acc_half                    # truncation documented
+
+
+class _SlabScene:
+    """Duck-typed NeRF 'model': an analytic thin density slab at x=0.2
+    (thickness 0.02 in normalized coords) — the structure a coarse march
+    step cannot resolve without PDF upsampling."""
+
+    def forward_density(self, x):
+        # ∫σ ≈ 1 across the slab: a coarse step that lands one sample in
+        # the slab integrates σ·dt ≈ 50/12 ≫ 1 (mask overestimated); only
+        # clustered fine samples recover the true optical depth
+        sigma = jnp.where(jnp.abs(x[:, 0] - 0.2) < 0.01, 50.0, 0.0)
+        return {"sigma": sigma, "h": jnp.zeros((x.shape[0], 4))}
+
+    def radiance(self, x, v, n, h):
+        return jnp.broadcast_to(jnp.asarray([1.0, 0.5, 0.25]),
+                                (x.shape[0], 3))
+
+
+def test_nerf_multi_upsample_resolves_thin_structure():
+    """The PDF upsample round (reference nerf_ray_query.py:190) must place
+    samples ON the thin slab and estimate depth closer to the 512-sample
+    oracle than the plain compressed path at an equal final budget."""
+    from nr3d_lib_tpu.graphics.nerf_ray_query import (
+        nerf_ray_query_fixed, nerf_ray_query_march_occ_compressed,
+        nerf_ray_query_march_occ_multi_upsample_compressed)
+    from nr3d_lib_tpu.models.accelerations.occgrid_accel import OccGridAccel
+    from nr3d_lib_tpu.models.spatial.aabb import AABBSpace
+
+    model = _SlabScene()
+    space = AABBSpace()
+    accel = OccGridAccel(resolution=8, step_size=2 / 24,
+                         max_steps_per_ray=32)
+    accel.occ.val_grid[...] = jnp.ones_like(accel.occ.val_grid[...])
+
+    o = jnp.asarray([[-2.0, 0.1, 0.0], [-2.0, -0.3, 0.2],
+                     [-2.0, 0.4, -0.4]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]] * 3)
+    rt = space.ray_test(o, d)
+
+    r_oracle, _ = nerf_ray_query_fixed(model, space, rt, n_samples=512)
+    # plain compressed: budget 32 (all marched samples survive — no
+    # upsample round); multi-upsample: SAME march, 16 fine samples merged
+    r_comp, vb_c = nerf_ray_query_march_occ_compressed(
+        model, accel, space, rt, compression_factor=1.0,
+        radiance_compression_factor=1.0, early_stop_eps=0.0)
+    r_mu, vb_m = nerf_ray_query_march_occ_multi_upsample_compressed(
+        model, accel, space, rt, compression_factor=1.0, n_fine=16,
+        radiance_compression_factor=1.0, early_stop_eps=0.0)
+
+    # fine samples concentrate on the slab: the multi-upsample buffer has
+    # strictly more samples inside |x-0.2|<0.02 than the compressed one
+    def on_slab(vb):
+        x = o[:, None, 0] + vb["t"] * d[:, None, 0]
+        return int(jnp.sum(vb["valid"] & (jnp.abs(x - 0.2) < 0.02)))
+
+    assert on_slab(vb_m) > on_slab(vb_c)
+
+    # and the rendered depth lands much closer to the oracle (mask is
+    # overestimated by BOTH at coarse dt — the left-Riemann tail term,
+    # same as the reference's packed_diff deltas — so depth is the
+    # discriminating metric: measured 9× tighter with the upsample round)
+    err = {}
+    for name, r in (("comp", r_comp), ("mu", r_mu)):
+        err[name] = float(jnp.max(jnp.abs(r["depth_volume"]
+                                          - r_oracle["depth_volume"])))
+    assert err["mu"] < 0.5 * err["comp"]
+
+
+def test_nerf_multi_upsample_dispatch_and_grads():
+    m = _nerf_model({"query_mode": "march_occ_multi_upsample_compressed",
+                     "compression_factor": 0.5, "n_fine": 8})
+    m.populate()
+    graphdef, params, rest = nnx.split(m, nnx.Param, ...)
+    o = jnp.asarray([[-2.0, 0.0, 0.0], [0.0, -2.0, 0.1]])
+    d = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+
+    def loss_fn(p):
+        mm = nnx.merge(graphdef, p, rest)
+        r, _ = mm.ray_query(mm.ray_test(o, d), key=jax.random.key(0))
+        return jnp.mean(r["rgb_volume"] ** 2) + jnp.mean(r["depth_volume"])
+
+    loss, g = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree.leaves(g)
+    assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+    assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
