@@ -82,6 +82,19 @@ __all__ = [
     "merge_two_batch",
     "packed_matmul",
     "segmented_scan",
+    # round-5 reference-parity tail (pack_ops.py:16-71 names)
+    "packed_sort_inplace",
+    "packed_searchsorted_packed_vals",
+    "interleave_arange",
+    "interleave_linspace",
+    "interleave_sample_step_wrt_depth_clamped",
+    "interleave_sample_step_wrt_depth_in_packed_segments",
+    "merge_two_packs_sorted",
+    "merge_two_packs_sorted_a_includes_b",
+    "merge_two_batch_a_includes_b",
+    "expand_pack_boundary",
+    "octree_mark_consecutive_segments",
+    "intersect1d_unique",
 ]
 
 Array = jax.Array
@@ -593,3 +606,195 @@ def try_merge_two_packs_sorted_aligned(valsA, keyA, ridxA, valsB, keyB, ridxB,
     falls back to unaligned merging; packed sort handles both here)."""
     return merge_two_packs_sorted_aligned(valsA, keyA, ridxA, valsB, keyB,
                                           ridxB, n_packs)
+
+
+# ============================================== round-5 parity tail (VERDICT #7)
+# Reference names from graphics/pack_ops/pack_ops.py:16-71 not yet covered.
+# Design notes per name live in docs/pack_ops.md §"reference parity".
+
+packed_searchsorted_packed_vals = packed_searchsorted
+"""In the ridx design `packed_searchsorted` already takes PACKED vals
+(vals, vals_ridx) — the reference needs a second entry point only because
+its batched variant takes [n_packs, M] vals (pack_ops.py:88). Alias kept
+for name parity."""
+
+
+def packed_sort_inplace(key: Array, ridx: Array, *payload: Array):
+    """Functional stand-in for the reference's in-place qsort
+    (pack_ops.py:74): JAX arrays are immutable, so this IS `packed_sort`
+    (same returns); kept for name parity."""
+    return packed_sort(key, ridx, *payload)
+
+
+def interleave_arange(start: Array, stop: Array, step: Array, capacity: int
+                      ) -> Tuple[Array, Array]:
+    """Packed [start_i, stop_i) aranges with per-pack step (reference:
+    interleave_arange, pack_ops.py:438): counts = ceil((stop−start)/step)."""
+    step = jnp.broadcast_to(jnp.asarray(step, start.dtype), start.shape)
+    counts = jnp.ceil((stop - start) / step).astype(jnp.int32)
+    counts = jnp.maximum(counts, 0)
+    return interleave_linstep(start, counts, step, capacity)
+
+
+def interleave_linspace(start: Array, stop: Array, num_steps, capacity: int
+                        ) -> Tuple[Array, Array]:
+    """Packed linspace(start_i, stop_i, n_i) (reference: interleave_linspace,
+    pack_ops.py:448): step = (stop−start)/(n−1)."""
+    if jnp.ndim(num_steps) == 0:
+        num_steps = jnp.full(start.shape, int(num_steps), jnp.int32)
+    denom = jnp.maximum(num_steps - 1, 1).astype(start.dtype)
+    step = (stop - start) / denom
+    return interleave_linstep(start, num_steps.astype(jnp.int32), step,
+                              capacity)
+
+
+def _depth_clamped_steps(t0: Array, n_steps: int, dt_gamma: float,
+                         min_step_size: float, max_step_size: float
+                         ) -> Tuple[Array, Array]:
+    """t_{k+1} = t_k + clamp(γ·t_k, min, max) from t0 [R] → (t [R,S], dt
+    [R,S]) (reference: ray_marching.cu calc_dt — dt proportional to the
+    CURRENT depth, clamped both ways)."""
+    def body(t, _):
+        dt = jnp.clip(t * dt_gamma, min_step_size, max_step_size)
+        return t + dt, (t, dt)
+
+    _, (t, dt) = jax.lax.scan(body, t0, None, length=n_steps)
+    return jnp.moveaxis(t, 0, -1), jnp.moveaxis(dt, 0, -1)
+
+
+def interleave_sample_step_wrt_depth_clamped(
+        near: Array, far: Array, max_steps: int = 512,
+        dt_gamma: float = 0.01, min_step_size: float = 0.01,
+        max_step_size: float = 1.0, step_size_factor: float = 1.0,
+        perturb_key=None) -> Tuple[Array, Array, Array]:
+    """Depth-proportional packed step sampler (reference:
+    interleave_sample_step_wrt_depth_clamped, pack_ops.py:454): steps grow
+    ∝ depth (clamped to [min,max]·factor) from near to far. Static-capacity
+    form: returns flat (t [R·S], dt [R·S], ridx [R·S]) with padding
+    ridx == R past each ray's far."""
+    dt_gamma = dt_gamma * step_size_factor
+    min_step_size = min_step_size * step_size_factor
+    max_step_size = max_step_size * step_size_factor
+    r = near.shape[0]
+    t, dt = _depth_clamped_steps(near, max_steps, dt_gamma, min_step_size,
+                                 max_step_size)
+    if perturb_key is not None:
+        t = t + jax.random.uniform(perturb_key, t.shape, t.dtype) * dt
+    in_range = t < far[:, None]
+    ridx = jnp.where(in_range, jnp.arange(r, dtype=jnp.int32)[:, None], r)
+    return t.reshape(-1), dt.reshape(-1), ridx.reshape(-1)
+
+
+def interleave_sample_step_wrt_depth_in_packed_segments(
+        near: Array, far: Array, entry: Array, exit_: Array,
+        seg_ridx: Array, n_rays: int, steps_per_segment: int = 32,
+        dt_gamma: float = 0.01, min_step_size: float = 0.01,
+        max_step_size: float = 1e10, step_size_factor: float = 1.0,
+        perturb_key=None) -> Tuple[Array, Array, Array, Array]:
+    """Depth-proportional stepping INSIDE ray segments (reference:
+    interleave_sample_step_wrt_depth_in_packed_segments, pack_ops.py:476 —
+    the forest/octree sampler: segments come from a block raytrace).
+
+    entry/exit_ [M] packed per-segment ranges, seg_ridx [M] their ray ids
+    (sentinel n_rays for padding). Static-capacity form: each segment gets
+    ≤ steps_per_segment samples → (t [M·S], dt [M·S], ridx [M·S] ray ids,
+    sidx [M·S] segment ids), padding ridx == n_rays / sidx == M."""
+    dt_gamma = dt_gamma * step_size_factor
+    min_step_size = min_step_size * step_size_factor
+    max_step_size = max_step_size * step_size_factor
+    m = entry.shape[0]
+    t0 = jnp.maximum(entry, _broadcast_pack(near, seg_ridx, n_rays))
+    t, dt = _depth_clamped_steps(t0, steps_per_segment, dt_gamma,
+                                 min_step_size, max_step_size)
+    if perturb_key is not None:
+        t = t + jax.random.uniform(perturb_key, t.shape, t.dtype) * dt
+    t_hi = jnp.minimum(exit_, _broadcast_pack(far, seg_ridx, n_rays))
+    in_range = (t < t_hi[:, None]) & (seg_ridx < n_rays)[:, None]
+    ridx = jnp.where(in_range,
+                     jnp.minimum(seg_ridx, n_rays)[:, None], n_rays)
+    sidx = jnp.where(in_range, jnp.arange(m, dtype=jnp.int32)[:, None], m)
+    return t.reshape(-1), dt.reshape(-1), ridx.reshape(-1), sidx.reshape(-1)
+
+
+def merge_two_packs_sorted(valsA: Array, keyA: Array, ridxA: Array,
+                           valsB: Array, keyB: Array, ridxB: Array,
+                           n_packs: int) -> Tuple[Array, Array, Array, Array]:
+    """General sorted-pack merge (reference: merge_two_packs_sorted,
+    pack_ops.py:603). The reference needs intersect/exclusive index
+    bookkeeping because its packs are dense lists per DISTINCT nidx set;
+    the ridx/sentinel design indexes packs globally, so non-aligned pack
+    sets merge with the SAME one stable sort as the aligned case —
+    alignment was never assumed."""
+    return merge_two_packs_sorted_aligned(valsA, keyA, ridxA, valsB, keyB,
+                                          ridxB, n_packs)
+
+
+def merge_two_packs_sorted_a_includes_b(valsA: Array, keyA: Array,
+                                        ridxA: Array, valsB: Array,
+                                        keyB: Array, ridxB: Array,
+                                        n_packs: int
+                                        ) -> Tuple[Array, Array, Array, Array]:
+    """Reference pack_ops.py:547 — the 'b's packs are a subset of a's'
+    special case; subsumed by the general merge here (see
+    merge_two_packs_sorted)."""
+    return merge_two_packs_sorted_aligned(valsA, keyA, ridxA, valsB, keyB,
+                                          ridxB, n_packs)
+
+
+def merge_two_batch_a_includes_b(valsA: Array, nidxA: Array,
+                                 valsB: Array, nidxB: Array,
+                                 n_packs: int
+                                 ) -> Tuple[Array, Array, Array, Array]:
+    """Merge batched rows valsB [Nb,Sb] into the rows of valsA [Na,Sa]
+    selected by nidxB (reference: merge_two_batch_a_includes_b,
+    pack_ops.py:670; every nidxB must appear in nidxA). Returns the packed
+    merged buffer (vals, key=vals, ridx over n_packs, from_B) — rows of A
+    not in nidxB keep only their own samples."""
+    na, sa = valsA.shape
+    nb, sb = valsB.shape
+    # scatter B rows onto A's pack ids, then one aligned packed merge
+    ridxA_flat = jnp.broadcast_to(
+        jnp.minimum(nidxA, n_packs)[:, None], (na, sa)).reshape(-1)
+    ridxB_flat = jnp.broadcast_to(
+        jnp.minimum(nidxB, n_packs)[:, None], (nb, sb)).reshape(-1)
+    return merge_two_packs_sorted_aligned(
+        valsA.reshape(-1), valsA.reshape(-1), ridxA_flat.astype(jnp.int32),
+        valsB.reshape(-1), valsB.reshape(-1), ridxB_flat.astype(jnp.int32),
+        n_packs)
+
+
+def expand_pack_boundary(pack_boundary: Array, num_samples: int) -> Array:
+    """Expand per-pack boundary marks to num_samples-per-entry granularity
+    (reference: expand_pack_boundary, pack_ops.py:725): mark j ⇒ mark at
+    j·num_samples in the expanded buffer."""
+    out = jnp.zeros((pack_boundary.shape[0] * num_samples,), bool)
+    idx = jnp.where(pack_boundary, jnp.arange(pack_boundary.shape[0]) * num_samples,
+                    out.shape[0])
+    return out.at[idx].set(True, mode="drop")
+
+
+def octree_mark_consecutive_segments(pidx: Array, ridx: Array
+                                     ) -> Array:
+    """Mark the first sample of each run of consecutive equal (ray, node)
+    pairs (reference: octree_mark_consecutive_segments, pack_ops.py:506 —
+    there tied to kaolin SPC point_hierarchies; here the node id `pidx` is
+    any per-sample cell/block id, e.g. the forest block index)."""
+    new_ray = mark_pack_boundaries(ridx)
+    new_node = jnp.concatenate([jnp.ones((1,), bool), pidx[1:] != pidx[:-1]])
+    return new_ray | new_node
+
+
+def intersect1d_unique(a: Array, b: Array, n_max: int
+                       ) -> Tuple[Array, Array, Array]:
+    """Static-shape analogue of the reference's torch_intersect1d_unique
+    (pack_ops.py:512): a, b sorted unique id lists (sentinel-padded to
+    static length). Returns (in_both_a [len(a)] bool, in_both_b [len(b)]
+    bool, union_sorted [n_max] sentinel-padded). The reference returns
+    dynamic index lists; masks are the static-shape equivalent."""
+    in_b = jnp.isin(a, b)
+    in_a = jnp.isin(b, a)
+    sentinel = jnp.iinfo(a.dtype).max if jnp.issubdtype(a.dtype, jnp.integer) \
+        else jnp.inf
+    cat = jnp.concatenate([a, jnp.where(in_a, sentinel, b)])
+    union = jnp.sort(cat)[:n_max]
+    return in_b, in_a, union

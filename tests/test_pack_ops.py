@@ -304,3 +304,140 @@ def test_dense_to_budgeted_int32_full_range(rng):
         cols = np.flatnonzero(mask[rr])[:b]
         np.testing.assert_array_equal(i_b[rr, :len(cols)], ii[rr, cols])
         assert (i_b[rr, len(cols):] == 0).all()  # invalid slots zero-filled
+
+
+# ===================================================== round-5 parity tail
+def test_interleave_arange_and_linspace(rng):
+    import numpy as np
+    from nr3d_lib_tpu.graphics import pack_ops as po
+
+    start = jnp.asarray([0.0, 1.0, -2.0])
+    stop = jnp.asarray([1.0, 1.5, -2.0])
+    step = jnp.asarray([0.3, 0.2, 0.5])
+    cap = 16
+    v, ridx = po.interleave_arange(start, stop, step, cap)
+    # numpy oracle: per-pack arange (reference: counts=ceil((stop-start)/step))
+    for i in range(3):
+        n_i = int(np.ceil((float(stop[i]) - float(start[i])) / float(step[i])))
+        got = np.asarray(v)[np.asarray(ridx) == i]
+        np.testing.assert_allclose(
+            got, float(start[i]) + np.arange(max(n_i, 0)) * float(step[i]),
+            rtol=1e-6)
+
+    v2, ridx2 = po.interleave_linspace(start, stop, 4, cap)
+    for i in range(3):
+        got = np.asarray(v2)[np.asarray(ridx2) == i]
+        np.testing.assert_allclose(
+            got, np.linspace(float(start[i]), float(stop[i]), 4),
+            rtol=1e-5, atol=1e-7)
+
+
+def test_interleave_sample_step_wrt_depth_clamped(rng):
+    import numpy as np
+    from nr3d_lib_tpu.graphics import pack_ops as po
+
+    near = jnp.asarray([0.5, 2.0])
+    far = jnp.asarray([3.0, 2.5])
+    g, mn, mx = 0.2, 0.05, 0.4
+    t, dt, ridx = po.interleave_sample_step_wrt_depth_clamped(
+        near, far, max_steps=32, dt_gamma=g, min_step_size=mn,
+        max_step_size=mx)
+    t, dt, ridx = np.asarray(t), np.asarray(dt), np.asarray(ridx)
+    for i in range(2):
+        # numpy oracle of the reference recurrence t += clamp(γ·t, mn, mx)
+        tt, exp_t, exp_dt = float(near[i]), [], []
+        while tt < float(far[i]) and len(exp_t) < 32:
+            d = min(max(tt * g, mn), mx)
+            exp_t.append(tt)
+            exp_dt.append(d)
+            tt += d
+        got_t = t[ridx == i]
+        got_dt = dt[ridx == i]
+        np.testing.assert_allclose(got_t, exp_t, rtol=1e-5)
+        np.testing.assert_allclose(got_dt, exp_dt, rtol=1e-5)
+
+
+def test_interleave_sample_step_in_packed_segments(rng):
+    import numpy as np
+    from nr3d_lib_tpu.graphics import pack_ops as po
+
+    near = jnp.asarray([0.0, 0.0])
+    far = jnp.asarray([10.0, 10.0])
+    entry = jnp.asarray([1.0, 4.0, 2.0, 1e9])   # last = padded segment
+    exit_ = jnp.asarray([2.0, 4.5, 3.0, 1e9])
+    seg_ridx = jnp.asarray([0, 0, 1, 2], jnp.int32)  # sentinel ray id = 2
+    t, dt, ridx, sidx = po.interleave_sample_step_wrt_depth_in_packed_segments(
+        near, far, entry, exit_, seg_ridx, n_rays=2, steps_per_segment=8,
+        dt_gamma=0.1, min_step_size=0.2, max_step_size=1.0)
+    t, ridx, sidx = np.asarray(t), np.asarray(ridx), np.asarray(sidx)
+    # all valid samples lie inside their segment and carry its ray id
+    for s in range(3):
+        sel = sidx == s
+        assert sel.any()
+        assert (t[sel] >= float(entry[s]) - 1e-6).all()
+        assert (t[sel] < float(exit_[s])).all()
+        assert (ridx[sel] == int(seg_ridx[s])).all()
+    assert not (sidx == 3).any()  # padded segment produced nothing
+
+
+def test_merge_two_packs_sorted_nonaligned(rng):
+    import numpy as np
+    from nr3d_lib_tpu.graphics import pack_ops as po
+
+    # pack set A covers rays {0,1,3}; B covers {1,2} — NOT aligned
+    keyA = jnp.asarray([0.1, 0.5, 0.2, 0.9, 0.3])
+    ridxA = jnp.asarray([0, 0, 1, 1, 3], jnp.int32)
+    keyB = jnp.asarray([0.25, 0.6, 0.15])
+    ridxB = jnp.asarray([1, 1, 2], jnp.int32)
+    vals, key, ridx, from_b = po.merge_two_packs_sorted(
+        keyA, keyA, ridxA, keyB, keyB, ridxB, n_packs=4)
+    key, ridx = np.asarray(key), np.asarray(ridx)
+    # oracle: per ray, the union of A/B entries, sorted
+    for i in range(4):
+        exp = np.sort(np.concatenate(
+            [np.asarray(keyA)[np.asarray(ridxA) == i],
+             np.asarray(keyB)[np.asarray(ridxB) == i]]))
+        np.testing.assert_allclose(key[ridx == i], exp)
+    # ridx-major ordering (packed contract)
+    assert (np.diff(ridx) >= 0).all()
+
+
+def test_merge_two_batch_a_includes_b(rng):
+    import numpy as np
+    from nr3d_lib_tpu.graphics import pack_ops as po
+
+    valsA = jnp.asarray([[0.1, 0.4], [0.2, 0.6], [0.3, 0.5]])
+    nidxA = jnp.asarray([0, 1, 2], jnp.int32)
+    valsB = jnp.asarray([[0.25, 0.05]])
+    nidxB = jnp.asarray([1], jnp.int32)
+    vals, key, ridx, from_b = po.merge_two_batch_a_includes_b(
+        valsA, nidxA, valsB, nidxB, n_packs=3)
+    key, ridx = np.asarray(key), np.asarray(ridx)
+    np.testing.assert_allclose(key[ridx == 0], [0.1, 0.4])
+    np.testing.assert_allclose(key[ridx == 1], [0.05, 0.2, 0.25, 0.6])
+    np.testing.assert_allclose(key[ridx == 2], [0.3, 0.5])
+
+
+def test_expand_boundary_segments_intersect(rng):
+    import numpy as np
+    from nr3d_lib_tpu.graphics import pack_ops as po
+
+    b = jnp.asarray([True, False, True, False])
+    e = po.expand_pack_boundary(b, 3)
+    exp = np.zeros(12, bool)
+    exp[[0, 6]] = True
+    np.testing.assert_array_equal(np.asarray(e), exp)
+
+    pidx = jnp.asarray([7, 7, 3, 3, 3, 5], jnp.int32)
+    ridx = jnp.asarray([0, 0, 0, 1, 1, 1], jnp.int32)
+    marks = po.octree_mark_consecutive_segments(pidx, ridx)
+    np.testing.assert_array_equal(
+        np.asarray(marks), [True, False, True, True, False, True])
+
+    a = jnp.asarray([1, 3, 5, 9], jnp.int32)
+    bb = jnp.asarray([3, 4, 9], jnp.int32)
+    in_b, in_a, union = po.intersect1d_unique(a, bb, n_max=6)
+    np.testing.assert_array_equal(np.asarray(in_b),
+                                  [False, True, False, True])
+    np.testing.assert_array_equal(np.asarray(in_a), [True, False, True])
+    np.testing.assert_array_equal(np.asarray(union)[:5], [1, 3, 4, 5, 9])
