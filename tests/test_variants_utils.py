@@ -158,12 +158,82 @@ def test_grid_encoding_utils(rng):
 
 
 def test_mll_net(rng):
+    """Reference-depth MLL (mll.py:49/157/296): chained lattice layers
+    (layer 1 encodes layer 0's OUTPUT), learned-zero residual, output head,
+    forward_with_nablas vs a jax.grad oracle."""
+    import jax
+
+    from nr3d_lib_tpu.models.grid_encodings.permuto.mll import (
+        MLL, MLLNet, PermutohedralLatticeLayer)
+
+    lattice_cfg = dict(coarsest_res=4.0, finest_res=16.0,
+                       log2_hashmap_size=10)
+    net = MLLNet(3, 1, D=2, use_residual=True, lattice_n_levels=[3, 2],
+                 lattice_n_feats=2, decoder_out_feats=8,
+                 lattice_cfg=lattice_cfg)
+    # layer 0: decoder to 8 feats + residual over the 3 input dims;
+    # layer 1: raw 2·2-level encoding, no decoder/residual
+    assert net.lattice_layers[0].out_features == 8
+    assert net.lattice_layers[0].residual_in_features == 3
+    assert net.lattice_layers[1].decoder is None
+    assert net.lattice_layers[1].in_features == 8
+    x = jnp.asarray(rng.uniform(-1, 1, (16, 3)).astype(np.float32))
+    y = net(x)["output"]
+    assert y.shape == (16, 1) and np.isfinite(np.asarray(y)).all()
+
+    r = net.forward_with_nablas(x)
+    assert r["nablas"].shape == (16, 3)
+    g_oracle = jax.grad(lambda xx: net(xx)["output"].sum())(x)
+    np.testing.assert_allclose(np.asarray(r["nablas"]),
+                               np.asarray(g_oracle), rtol=1e-5, atol=1e-6)
+
+    # anneal + weight-reg surfaces exist (reference set_anneal_iter /
+    # get_weight_reg)
+    net.set_anneal_iter(5)
+    assert net.get_weight_reg().shape[0] >= 1
+    # single layer module importable/usable standalone
+    layer = PermutohedralLatticeLayer(3, n_levels=2, n_feats=2,
+                                     coarsest_res=4.0, finest_res=8.0,
+                                     log2_hashmap_size=8)
+    assert layer(x).shape == (16, 2 * 2)
+    assert isinstance(net, MLL)
+
+
+def test_mll_net_trains_sdf(rng):
+    """VERDICT r04 #8 'done' gate: MLLNet trains on an SDF smoke test."""
+    import jax
+    import optax
+    from flax import nnx
+
     from nr3d_lib_tpu.models.grid_encodings.permuto.mll import MLLNet
 
-    net = MLLNet(3, 1, res_list=[4.0, 8.0], width=16, log2_hashmap_size=10)
-    x = jnp.asarray(rng.uniform(-1, 1, (16, 3)).astype(np.float32))
-    y = net(x)
-    assert y.shape == (16, 1) and np.isfinite(np.asarray(y)).all()
+    net = MLLNet(3, 1, D=2, lattice_n_levels=[4, 2], lattice_n_feats=2,
+                 decoder_out_feats=8,
+                 lattice_cfg=dict(coarsest_res=4.0, finest_res=32.0,
+                                  log2_hashmap_size=12))
+    graphdef, params, rest = nnx.split(net, nnx.Param, ...)
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+    x = jnp.asarray(rng.uniform(-1, 1, (512, 3)).astype(np.float32))
+    sdf_gt = jnp.linalg.norm(x, axis=-1) - 0.5
+
+    @jax.jit
+    def step(p, s):
+        def loss_fn(pp):
+            m = nnx.merge(graphdef, pp, rest)
+            pred = m(x)["output"][:, 0]
+            return jnp.mean((pred - sdf_gt) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        upd, s2 = opt.update(g, s)
+        return optax.apply_updates(p, upd), s2, loss
+
+    losses = []
+    for _ in range(60):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.3 * losses[0]
 
 
 def test_depth_completion():
