@@ -30,7 +30,8 @@ from nr3d_lib_tpu.maths.transforms import (
 __all__ = [
     "RotationQuaternion", "RotationAxisAngle", "Rotation6D", "RotationMat3x3",
     "TransformRT", "TransformMat4x4", "TransformExpSE3", "Scale",
-    "PinholeCameraIntrinsics", "PinholeCameraHWF", "PinholeCameraHWFRatio",
+    "PinholeCameraIntrinsics", "PinholeCameraMatHW", "PinholeCameraHWF",
+    "PinholeCameraHWFRatio",
     "PinholeCameraHWFExp", "OpenCVCameraIntrinsics",
     "FisheyeCameraIntrinsics", "OrthoCameraIntrinsics", "Segment",
     "attr_index", "attr_stack", "attr_concat", "attr_interp1d",
@@ -250,6 +251,42 @@ class PinholeCameraIntrinsics(_IntrBase):
         return PinholeCameraIntrinsics(self.fx * f, self.fy * f,
                                        self.cx * f, self.cy * f,
                                        int(self.H // factor), int(self.W // factor))
+
+
+@struct.dataclass
+class PinholeCameraMatHW(_IntrBase):
+    """Full 3×3 matrix parameterization (reference camera_param.py:292
+    PinholeCameraMatHW — the fifth pinhole form): the matrix IS the
+    parameter (skewed/refined K supported), fx/fy/cx/cy are views."""
+
+    mat: Array                      # [..., 3, 3]
+    H: int = struct.field(pytree_node=False, default=0)
+    W: int = struct.field(pytree_node=False, default=0)
+
+    def mat_3x3(self) -> Array:
+        return self.mat
+
+    @property
+    def fx(self):
+        return self.mat[..., 0, 0]
+
+    @property
+    def fy(self):
+        return self.mat[..., 1, 1]
+
+    @property
+    def cx(self):
+        return self.mat[..., 0, 2]
+
+    @property
+    def cy(self):
+        return self.mat[..., 1, 2]
+
+    def downscale(self, factor: float) -> "PinholeCameraMatHW":
+        s = jnp.asarray([1.0 / factor, 1.0 / factor, 1.0])
+        return PinholeCameraMatHW(self.mat * s[:, None],
+                                  int(self.H // factor),
+                                  int(self.W // factor))
 
 
 @struct.dataclass

@@ -19,3 +19,11 @@ from nr3d_lib_tpu.plot.plot_3d import (  # noqa: F401
     plot_lineset,
     trajectory_lines,
 )
+from nr3d_lib_tpu.plot.plot_2d import (  # noqa: F401
+    choose_contrast_color,
+    draw_2dbox_labeled,
+    draw_bool_mask,
+    draw_int_mask,
+    draw_patch,
+    get_n_ind_colors,
+)

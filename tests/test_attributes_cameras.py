@@ -113,12 +113,15 @@ def _cams():
     from nr3d_lib_tpu.models.attributes import (
         FisheyeCameraIntrinsics, OpenCVCameraIntrinsics, OrthoCameraIntrinsics,
         PinholeCameraHWF, PinholeCameraHWFExp, PinholeCameraHWFRatio,
-        PinholeCameraIntrinsics)
+        PinholeCameraIntrinsics, PinholeCameraMatHW)
 
     f = jnp.asarray(100.0)
     c = jnp.asarray(64.0)
     return {
         "pinhole": PinholeCameraIntrinsics(f, f * 1.1, c, c, 128, 128),
+        "mat_hw": PinholeCameraMatHW(jnp.asarray(
+            [[100.0, 0.0, 64.0], [0.0, 110.0, 64.0], [0.0, 0.0, 1.0]]),
+            128, 128),
         "hwf": PinholeCameraHWF(f, c, c, 128, 128),
         "hwf_ratio": PinholeCameraHWFRatio(jnp.asarray(100.0 / 128),
                                            jnp.asarray(110.0 / 128),
@@ -135,8 +138,8 @@ def _cams():
     }
 
 
-@pytest.mark.parametrize("name", ["pinhole", "hwf", "hwf_ratio", "hwf_exp",
-                                  "opencv", "fisheye", "ortho"])
+@pytest.mark.parametrize("name", ["pinhole", "mat_hw", "hwf", "hwf_ratio",
+                                  "hwf_exp", "opencv", "fisheye", "ortho"])
 def test_camera_lift_project_roundtrip(name):
     """VERDICT #8 'done' criterion: lift/project round-trip for all camera
     models."""

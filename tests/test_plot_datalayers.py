@@ -104,3 +104,36 @@ def test_sdf_slice_and_segment_drawing():
     assert (out[2, 2:30, 0] == 255).all()          # horizontal line painted
     assert out.sum() == int((out[..., 0] == 255).sum()) * 255  # red only
     assert (img == 0).all()                         # input untouched
+
+
+def test_plot_2d_annotations():
+    """Round-5 plot breadth (reference plot_2d.py:20-160): labeled boxes,
+    bool/int masks, patches — incl. edge clipping."""
+    import numpy as np
+
+    from nr3d_lib_tpu.plot import (choose_contrast_color, draw_2dbox_labeled,
+                                   draw_bool_mask, draw_int_mask, draw_patch,
+                                   get_n_ind_colors)
+
+    im = np.zeros((64, 64, 3), np.uint8)
+    cols = get_n_ind_colors(8)
+    assert cols.shape == (8, 3) and len({tuple(c) for c in cols}) == 8
+    assert choose_contrast_color((255, 255, 255)) == (0, 0, 0)
+    assert choose_contrast_color((10, 10, 10)) == (255, 255, 255)
+
+    out = draw_2dbox_labeled(im, 32, 32, 20, 16, color=(0, 255, 0),
+                             label="car", label2="0.93")
+    assert out.sum() > 0 and out.shape == im.shape
+    # mask partially off-image (negative offset) must clip, not crash
+    m = np.ones((16, 16), bool)
+    out2 = draw_bool_mask(im, m, (255, 0, 0), 0.5, h0=-8, w0=56)
+    assert out2[:8, 56:, 0].all() and out2[8:, :, 0].sum() == 0
+    # fully off-image is a no-op
+    assert (draw_bool_mask(im, m, (255, 0, 0), 0.5, h0=100, w0=0) == im).all()
+
+    ids = np.asarray([[0, 1], [2, 3]])
+    out3 = draw_int_mask(im, ids, h0=10, w0=10)
+    assert (out3[10:12, 10:12] != 0).any()
+    patch = np.full((8, 8, 3), 200, np.uint8)
+    out4 = draw_patch(im, patch, 0.5, h0=60, w0=60)
+    assert (out4[60:, 60:] == 100).all()
