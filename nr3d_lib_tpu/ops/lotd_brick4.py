@@ -169,14 +169,23 @@ def _lane_pattern(meta: BrickMeta, block: int):
 
 
 # -------------------------------------------------------------- fwd kernel
-def _fwd4_kernel_v3(meta: BrickMeta, tile: int, block: int,
+def _fwd4_kernel_v3(meta: BrickMeta, tile: int, block: int, want_g: bool,
                     rows_ref, lane_ref, frac_ref, table_ref, m_ref,
-                    out_ref, buf_a, buf_b):
+                    *refs):
     """Software-pipelined F=4 forward (same A/B scheme as
     lotd_brick._fwd_kernel_v3: scalar gathers of block j+1 interleave with
-    block j's VPU extraction)."""
+    block j's VPU extraction).
+
+    want_g: additionally store the PACKED per-lane corner selections g
+    [tile,128] (bit-preserving vector store) — the v4 backward unpacks
+    them instead of re-issuing the table gathers."""
     from jax.experimental import pallas as pl
 
+    if want_g:
+        out_ref, g_out_ref, buf_a, buf_b = refs
+    else:
+        out_ref, buf_a, buf_b = refs
+        g_out_ref = None
     L = meta.n_levels
     nblk = tile // block
     assert nblk % 2 == 0
@@ -204,6 +213,8 @@ def _fwd4_kernel_v3(meta: BrickMeta, tile: int, block: int,
             rows = buf[pl.ds(l * block, block), :]
             g_l = jnp.take_along_axis(rows, wanted, axis=1)
             g = jnp.where(lvl == l, g_l, g)
+        if g_out_ref is not None:
+            g_out_ref[pl.ds(base, block), :] = g
         gval = _unpack_bits(g, half)
         w = jnp.ones((block, LANES), buf.dtype)
         for a, bit in enumerate(bits):
@@ -366,6 +377,138 @@ def _bwd4_kernel_v3(meta: BrickMeta, tile: int, block: int, need_dx: bool,
         scatter_level(sbuf_b, tile - block, l)
 
 
+def _bwd4_kernel_v4(meta: BrickMeta, tile: int, block: int, need_dx: bool,
+                    *refs):
+    """Round-5 F=4 backward (same two structural changes as
+    lotd_brick._bwd_kernel_v4): dL/dtable is 2L per-(level, half-plane)
+    output refs — the point-outer / ref-inner scatter interleaves 2L
+    provably-disjoint RMW chains instead of serializing block-long chains
+    per ref — and the table gather is gone (the forward saves the packed
+    corner selections g; unpacking is bit-exact `_unpack_bits`).
+
+    Ref layout: rows(level-local SMEM), lane, frac, gup, [g, m if
+    need_dx], outputs [lo_0..lo_{L-1}, hi_0..hi_{L-1}, dx], scratch
+    [sbuf_a, sbuf_b] (each [L·2·block, 128]: level-major, lo then hi)."""
+    from jax.experimental import pallas as pl
+
+    L = meta.n_levels
+    nblk = tile // block
+    assert nblk % 2 == 0
+    if need_dx:
+        rows_ref, lane_ref, frac_ref, gup_ref, g_ref, m_ref = refs[:6]
+        rest = refs[6:]
+    else:
+        rows_ref, lane_ref, frac_ref, gup_ref = refs[:4]
+        g_ref = m_ref = None
+        rest = refs[4:]
+    lo_refs = rest[:L]
+    hi_refs = rest[L:2 * L]
+    dx_ref = rest[2 * L]
+    sbuf_a, sbuf_b = rest[2 * L + 1:2 * L + 3]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for dr in lo_refs + hi_refs:
+            dr[:, :] = jnp.zeros_like(dr)
+
+    lane_i, lvl, q, f, bits, off = _lane_pattern(meta, block)
+    half = f & 1
+    sb = max(B._STORE_BATCH, 1)
+    CH = block // L
+    INNER = min(64, CH)
+
+    def scatter_chunk(sbuf, base, c):
+        def body(i, _):
+            n0 = c * CH + i * INNER
+            for k in range(0, INNER, sb):
+                blo = [sbuf[pl.ds(l * 2 * block + n0 + k, sb), :]
+                       for l in range(L)]
+                bhi = [sbuf[pl.ds(l * 2 * block + block + n0 + k, sb), :]
+                       for l in range(L)]
+                for i2 in range(sb):
+                    for l in range(L):
+                        r = rows_ref[l, base + n0 + k + i2]
+                        lo_refs[l][pl.ds(r, 1), :] = \
+                            lo_refs[l][pl.ds(r, 1), :] + blo[l][i2:i2 + 1, :]
+                        hi_refs[l][pl.ds(r, 1), :] = \
+                            hi_refs[l][pl.ds(r, 1), :] + bhi[l][i2:i2 + 1, :]
+            return 0
+
+        jax.lax.fori_loop(0, CH // INNER, body, 0)
+
+    def process(sbuf, base, prev_sbuf, prev_base):
+        lane_blk = lane_ref[pl.ds(base, block), :]
+        frac_blk = frac_ref[pl.ds(base, block), :]
+        gup_blk = gup_ref[pl.ds(base, block), :]
+        lane_pad = jnp.pad(lane_blk,
+                           ((0, 0), (0, LANES - lane_blk.shape[1])))
+        frac_pad = jnp.pad(frac_blk,
+                           ((0, 0), (0, LANES - frac_blk.shape[1])))
+        gup_pad = jnp.pad(gup_blk, ((0, 0), (0, LANES - gup_blk.shape[1])))
+        gb = jnp.take_along_axis(gup_pad, lvl * 4 + (q & 3), axis=1)
+
+        s = []
+        for a, bit in enumerate(bits):
+            f_a = jnp.take_along_axis(
+                frac_pad, jnp.minimum(3 * lvl + a, LANES - 1), axis=1)
+            s.append(jnp.where(bit > 0, f_a, 1.0 - f_a))
+        w = s[0] * s[1] * s[2]
+        contrib = gb * w
+        for l in range(L):
+            lane0_l = jnp.take_along_axis(
+                lane_pad, jnp.full((block, LANES), l, jnp.int32), axis=1)
+            d = lane_i - lane0_l
+            valid = (d >= 0) & (d <= 43) & ((d & 0b0010100) == 0)
+            dxb = (d >> 5) & 1
+            dyb = (d >> 3) & 1
+            dzb = (d >> 1) & 1
+            qinv = dxb * 4 + dyb * 2 + dzb
+            base_src = jnp.clip(l * 32 + qinv * 4 + (d & 1) * 2, 0,
+                                LANES - 2)
+            for hp in range(2):
+                slab = jnp.where(
+                    valid,
+                    jnp.take_along_axis(contrib, base_src + hp, axis=1),
+                    0.0)
+                sbuf[pl.ds(l * 2 * block + hp * block, block), :] = slab
+
+            @pl.when(prev_base >= 0)
+            def _(l=l):
+                scatter_chunk(prev_sbuf, prev_base, l)
+
+        if need_dx:
+            g = g_ref[pl.ds(base, block), :]
+            gval = _unpack_bits(g, half)
+            h = gb * gval
+            tx = h * s[1] * s[2]
+            ty = h * s[0] * s[2]
+            tz = h * s[0] * s[1]
+            dx0 = jnp.dot(tx, m_ref[:, 0:1],
+                          preferred_element_type=jnp.float32,
+                          precision=_B_prec())
+            dx1 = jnp.dot(ty, m_ref[:, 1:2],
+                          preferred_element_type=jnp.float32,
+                          precision=_B_prec())
+            dx2 = jnp.dot(tz, m_ref[:, 2:3],
+                          preferred_element_type=jnp.float32,
+                          precision=_B_prec())
+            dx_ref[pl.ds(base, block), :] = jnp.concatenate(
+                [dx0, dx1, dx2], axis=-1).astype(dx_ref.dtype)
+        else:
+            dx_ref[pl.ds(base, block), :] = jnp.zeros(
+                (block, 3), dx_ref.dtype)
+
+    def body(j, _):
+        b0 = 2 * j * block
+        process(sbuf_a, b0, sbuf_b, b0 - block)
+        process(sbuf_b, b0 + block, sbuf_a, b0)
+        return 0
+
+    jax.lax.fori_loop(0, nblk // 2, body, 0)
+    for c in range(L):
+        scatter_chunk(sbuf_b, tile - block, c)
+
+
 # ---------------------------------------------------------------- plumbing
 def _halfplane_to_natural(dtab_hp: Array) -> Array:
     """[rows, 256] half-plane layout → natural unpacked (lane v·4+f)."""
@@ -398,7 +541,7 @@ def _brick4_fwd_pallas(x: Array, table_unpacked: Array, meta: BrickMeta,
     rows, lane_c, frac_c = _prologue(x, meta, jnp.float32, tile)
     m_red = jnp.asarray(_reduce_matrix4(L), jnp.float32)
     block = _FWD_BLOCK if tile % (2 * _FWD_BLOCK) == 0 else tile // 2
-    kernel = functools.partial(_fwd4_kernel_v3, meta, tile, block)
+    kernel = functools.partial(_fwd4_kernel_v3, meta, tile, block, False)
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
@@ -485,6 +628,153 @@ def _brick4_bwd_pallas(x: Array, table_unpacked: Array, g_up: Array,
     )(rows, lane_c, frac_c, table, m_dx, g_up)
     dtab_hp = jnp.concatenate([dtab_lo, dtab_hi], axis=1)
     return dx[:n], _halfplane_to_natural(dtab_hp)
+
+
+def _v4_ok4(meta: BrickMeta, tile: int = 2048) -> bool:
+    """v4 eligibility for the F=4 backward (mirrors lotd_brick._v4_ok)."""
+    if B._BWD_VERSION != 4:
+        return False
+    block = _FWD_BLOCK if tile % (2 * _FWD_BLOCK) == 0 else tile // 2
+    L = meta.n_levels
+    if tile % (2 * block) != 0 or block % L != 0:
+        return False
+    ch = block // L
+    inner = min(64, ch)
+    sb = max(B._STORE_BATCH, 1)
+    return ch % inner == 0 and inner % sb == 0
+
+
+def _brick4_fwd_pallas_g(x: Array, table_unpacked: Array, meta: BrickMeta,
+                         tile: int = 2048, interpret: bool = False
+                         ) -> Tuple[Array, Array]:
+    """Forward + PACKED corner selections g [N,128] (v4 residual)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n0 = x.shape[0]
+    if n0 > _MAX_CHUNK:
+        from nr3d_lib_tpu.ops.chunking import loop_chunks
+
+        def body(xc):
+            return _brick4_fwd_pallas_g(xc, table_unpacked, meta, tile,
+                                        interpret), ()
+
+        (out, gpk), _ = loop_chunks(body, (x,), n0, _MAX_CHUNK)
+        return out, gpk
+    table = pack_table4(table_unpacked)
+    x, n = _pad_points(x, tile)
+    n_pad = x.shape[0]
+    L = meta.n_levels
+    rows, lane_c, frac_c = _prologue(x, meta, jnp.float32, tile)
+    m_red = jnp.asarray(_reduce_matrix4(L), jnp.float32)
+    block = _FWD_BLOCK if tile % (2 * _FWD_BLOCK) == 0 else tile // 2
+    kernel = functools.partial(_fwd4_kernel_v3, meta, tile, block, True)
+    out, gpk = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((L, tile), lambda i: (0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, L), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, 4 * L), lambda i: (i, 0)),
+            pl.BlockSpec((tile, LANES), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 4 * L), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, LANES), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((L * block, LANES), jnp.float32),
+                        pltpu.VMEM((L * block, LANES), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(rows, lane_c, frac_c, table, m_red)
+    return out[:n], gpk[:n]
+
+
+def _brick4_bwd_pallas_v4(x: Array, g_packed, g_up: Array, meta: BrickMeta,
+                          n_rows_total: int, tile: int = 2048,
+                          interpret: bool = False, need_dx: bool = True
+                          ) -> Tuple[Array, Array]:
+    """v4 F=4 backward: (dL/dx [N,3], dL/dtable UNPACKED [rows,256])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n0 = x.shape[0]
+    if n0 > _MAX_CHUNK:
+        from nr3d_lib_tpu.ops.chunking import scan_chunks
+
+        per_point = (x, g_up) if g_packed is None else (x, g_up, g_packed)
+
+        def body(xc, gc, *rest):
+            dx_i, dt_i = _brick4_bwd_pallas_v4(
+                xc, rest[0] if rest else None, gc, meta, n_rows_total,
+                tile, interpret, need_dx)
+            return (dx_i,), (dt_i,)
+
+        (dx,), (dtab,) = scan_chunks(
+            body, per_point, n0, _MAX_CHUNK,
+            sum_init=(jnp.zeros((n_rows_total, 2 * LANES), jnp.float32),))
+        return dx, dtab
+    x, n = _pad_points(x, tile)
+    n_pad = x.shape[0]
+    if g_up.shape[0] != n_pad:
+        g_up = jnp.pad(g_up, ((0, n_pad - g_up.shape[0]), (0, 0)))
+    if g_packed is not None and g_packed.shape[0] != n_pad:
+        g_packed = jnp.pad(g_packed,
+                           ((0, n_pad - g_packed.shape[0]), (0, 0)))
+    L = meta.n_levels
+    rows, lane_c, frac_c = _prologue(x, meta, jnp.float32, tile)
+    offs = jnp.asarray([lev.row_offset for lev in meta.levels],
+                       jnp.int32)[:, None]
+    rows = rows - offs
+    block = _FWD_BLOCK if tile % (2 * _FWD_BLOCK) == 0 else tile // 2
+    kernel = functools.partial(_bwd4_kernel_v4, meta, tile, block, need_dx)
+    pad8 = B._pad8
+    in_specs = [
+        pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.SMEM),
+        pl.BlockSpec((tile, L), lambda i: (i, 0)),
+        pl.BlockSpec((tile, 3 * L), lambda i: (i, 0)),
+        pl.BlockSpec((tile, 4 * L), lambda i: (i, 0)),
+    ]
+    operands = [rows, lane_c, frac_c, g_up]
+    if need_dx:
+        in_specs += [pl.BlockSpec((tile, LANES), lambda i: (i, 0)),
+                     pl.BlockSpec(memory_space=pltpu.VMEM)]
+        operands += [g_packed, jnp.asarray(_dx_matrix4(meta), jnp.float32)]
+    lvl_specs = tuple(
+        pl.BlockSpec((pad8(lev.n_rows), LANES), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for lev in meta.levels)
+    lvl_shapes = tuple(
+        jax.ShapeDtypeStruct((pad8(lev.n_rows), LANES), jnp.float32)
+        for lev in meta.levels)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=in_specs,
+        out_specs=lvl_specs + lvl_specs + (
+            pl.BlockSpec((tile, 3), lambda i: (i, 0)),),
+        out_shape=lvl_shapes + lvl_shapes + (
+            jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),),
+        scratch_shapes=[pltpu.VMEM((L * 2 * block, LANES), jnp.float32)
+                        for _ in range(2)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    dtab_lo = jnp.concatenate(
+        [d[:lev.n_rows] for d, lev in zip(outs[:L], meta.levels)], axis=0)
+    dtab_hi = jnp.concatenate(
+        [d[:lev.n_rows] for d, lev in zip(outs[L:2 * L], meta.levels)],
+        axis=0)
+    dtab_hp = jnp.concatenate([dtab_lo, dtab_hi], axis=1)
+    return outs[2 * L][:n], _halfplane_to_natural(dtab_hp)
 
 
 # ------------------------------------------------------- second-order kernels
@@ -888,10 +1178,18 @@ def brick4_encode(x: Array, table: Array, meta: BrickMeta) -> Array:
 
 
 def _fwd4(x, table, meta):
+    if jax.default_backend() == "tpu" and _v4_ok4(meta):
+        # v4 training path: save the packed corner selections so the
+        # backward issues no table gathers (lotd_brick._bwd_kernel_v4)
+        out, gpk = _brick4_fwd_pallas_g(x, table, meta)
+        return out, (x, table, gpk)
     return brick4_encode(x, table, meta), (x, table)
 
 
 def _bwd4(meta, res, g):
+    if len(res) == 3:
+        x, table, gpk = res
+        return _brick4_bwd_pallas_v4(x, gpk, g, meta, table.shape[0])
     x, table = res
     if jax.default_backend() == "tpu":
         return _brick4_bwd_pallas(x, table, g, meta)

@@ -235,3 +235,48 @@ def test_nablas4_custom_vjp_cpu(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_bwd_v4_kernel_interpret_parity(rng):
+    """Round-5 v4 F=4 backward (per-(level,half) accumulators + packed-g
+    residual) vs the XLA vjp; covers want_g forward, need_dx, frozen."""
+    import nr3d_lib_tpu.ops.lotd_brick as B
+
+    meta = _meta()
+    table = jnp.asarray(rng.standard_normal((meta.total_rows, 256))
+                        .astype(np.float32))
+    n = 512
+    x = jnp.asarray(rng.uniform(0.0, 0.999, (n, 3)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((n, 4 * meta.n_levels))
+                    .astype(np.float32))
+    saved = B._FWD_BLOCK
+    B._FWD_BLOCK = 256
+    try:
+        import nr3d_lib_tpu.ops.lotd_brick4 as B4mod
+        saved4 = B4mod._FWD_BLOCK
+        B4mod._FWD_BLOCK = 128
+        assert B4._v4_ok4(meta, tile=512)
+        y, gpk = B4._brick4_fwd_pallas_g(x, table, meta, tile=512,
+                                         interpret=True)
+        y_ref = B4.brick4_encode_xla(x, table, meta)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-6)
+        _, vjp = jax.vjp(
+            lambda xx, tt: B4.brick4_encode_xla(xx, tt, meta), x, table)
+        dx_ref, dtab_ref = vjp(g)
+        dx4, dtab4 = B4._brick4_bwd_pallas_v4(x, gpk, g, meta,
+                                              table.shape[0], tile=512,
+                                              interpret=True)
+        np.testing.assert_allclose(np.asarray(dx4), np.asarray(dx_ref),
+                                   rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(dtab4), np.asarray(dtab_ref),
+                                   rtol=1e-4, atol=1e-5)
+        dxf, dtabf = B4._brick4_bwd_pallas_v4(x, None, g, meta,
+                                              table.shape[0], tile=512,
+                                              interpret=True, need_dx=False)
+        np.testing.assert_allclose(np.asarray(dtabf), np.asarray(dtab_ref),
+                                   rtol=1e-4, atol=1e-5)
+        assert float(jnp.max(jnp.abs(dxf))) == 0.0
+        B4mod._FWD_BLOCK = saved4
+    finally:
+        B._FWD_BLOCK = saved
