@@ -40,35 +40,49 @@ def _upsample_rounds(sdf_fn, o_n, d_n, t, valid, far, inv_s_base,
     queries then run forward-only — XLA dead-code-eliminates their
     backward, which would otherwise re-run the encode backward over every
     upsample round's samples inside each train step (measured 350 ms/step
-    → see bench train_step_neus_brick_krays)."""
+    → see bench train_step_neus_brick_krays).
+
+    Round-5: SDF values are CACHED across rounds like the reference
+    (`sdf_iter[pidx1] = forward_sdf(x_fine)` — neus_ray_query.py:533:
+    only the round's NEW importance samples hit the network; cached
+    values ride the merge sort as a payload). Previously every round
+    re-evaluated the whole slab: Σ(S + i·I) evals instead of S + R·I —
+    at S=48, I=16, 2 rounds that is 160 → 80 network evals per ray in
+    the sampling phase."""
     r = t.shape[0]
 
-    def sort_tv(t_, valid_):
-        # lax.sort with `valid` as payload — argsort + take_along_axis
-        # would scalarize the lane gathers on TPU (same pathology as the
+    def sort_tvs(t_, valid_, sdf_):
+        # lax.sort with payloads — argsort + take_along_axis would
+        # scalarize the lane gathers on TPU (same pathology as the
         # budget compaction; see pack_ops.dense_to_budgeted)
         key = jnp.where(valid_, t_, jnp.inf)
-        key_s, v_s = jax.lax.sort((key, valid_.astype(jnp.int32)),
-                                  num_keys=1, is_stable=True)
+        key_s, v_s, sdf_s = jax.lax.sort(
+            (key, valid_.astype(jnp.int32), sdf_), num_keys=1,
+            is_stable=True)
         v_s = v_s.astype(bool)
-        return jnp.where(v_s, key_s, far[:, None]), v_s
+        return jnp.where(v_s, key_s, far[:, None]), v_s, sdf_s
 
+    def eval_sdf(t_):
+        x = o_n[:, None, :] + d_n[:, None, :] * t_[..., None]
+        s = t_.shape[1]
+        return sdf_fn(x.reshape(r * s, 3)).reshape(r, s)
+
+    sdf = eval_sdf(t)                       # the one full-slab evaluation
     for round_i, factor in enumerate(upsample_inv_s_factors):
-        t_sorted, v_sorted = sort_tv(t, valid)
-        x = o_n[:, None, :] + d_n[:, None, :] * t_sorted[..., None]
-        s = t_sorted.shape[1]
-        sdf = sdf_fn(x.reshape(r * s, 3)).reshape(r, s)
-        sdf = jnp.where(v_sorted, sdf, _BIG_SDF)
-        alpha = neus_ray_sdf_to_alpha(sdf, inv_s_base * factor,
+        t, valid, sdf = sort_tvs(t, valid, sdf)
+        sdf_m = jnp.where(valid, sdf, _BIG_SDF)
+        alpha = neus_ray_sdf_to_alpha(sdf_m, inv_s_base * factor,
                                       append_cdf_1=False)          # [R,S-1]
         w = ray_alpha_to_vw(alpha)
         key_i = None
         if perturb_key is not None:
             perturb_key, key_i = jax.random.split(perturb_key)
-        t_new = batch_sample_pdf(t_sorted, w, n_importance, key_i)  # [R,n_imp]
-        t = jnp.concatenate([t_sorted, t_new], -1)
-        valid = jnp.concatenate([v_sorted, jnp.ones_like(t_new, bool)], -1)
-    t, valid = sort_tv(t, valid)
+        t_new = batch_sample_pdf(t, w, n_importance, key_i)  # [R,n_imp]
+        sdf_new = eval_sdf(t_new)           # only the new samples
+        t = jnp.concatenate([t, t_new], -1)
+        valid = jnp.concatenate([valid, jnp.ones_like(t_new, bool)], -1)
+        sdf = jnp.concatenate([sdf, sdf_new], -1)
+    t, valid, _ = sort_tvs(t, valid, sdf)
     return jax.lax.stop_gradient(t), valid
 
 
