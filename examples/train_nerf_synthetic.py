@@ -156,11 +156,18 @@ def main():
             vals.append(float(psnr(rendered["rgb_volume"], scene(o, d))))
         return sum(vals) / len(vals)
 
+    # the hard scene fills the unit box (ground to ±1, spheres at |c|≈0.55):
+    # training rays must COVER it, not just graze the center, or held-out
+    # views see unsupervised regions (protocol step 1 in docs/PARITY.md)
+    tgt_half = 0.7 if args.scene == "hard" else 0.3
+
     def sample_rays(n, key):
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         o = jax.random.normal(k1, (n, 3))
-        o = o / jnp.linalg.norm(o, axis=-1, keepdims=True) * 2.0
-        tgt = jax.random.uniform(k2, (n, 3), minval=-0.3, maxval=0.3)
+        r_o = jax.random.uniform(k3, (n, 1), minval=1.8, maxval=2.6)
+        o = o / jnp.linalg.norm(o, axis=-1, keepdims=True) * r_o
+        tgt = jax.random.uniform(k2, (n, 3), minval=-tgt_half,
+                                 maxval=tgt_half)
         d = tgt - o
         return o, d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
