@@ -65,6 +65,17 @@ _SLOW = {
     "test_variants_utils.py::test_neus_compressed_query_matches_uncompressed",
     "test_permuto_sphere_trace.py::test_permuto_fwd_dydx_and_second_order",
     "test_viewer.py::test_viewer_controls_dynamic_model",
+    # 20-30s band, each redundant with a faster sibling in the same file
+    "test_mesh_gs_misc.py::test_gaussian_splatting_render",
+    "test_query_modes.py::test_neus_compressed_default_keeps_far_occupied",
+    "test_query_modes.py::test_nerf_compressed_grad_flows",
+    "test_lotd_brick4.py::test_fwd_kernel_interpret_parity",
+    "test_lotd_growers.py::test_style_lotd_with_grower_type",
+    "test_viewer.py::test_viewer_overlay_datalayer",
+    "test_permuto_cell.py::test_pallas_backward_interpret_parity",
+    "test_variants_utils.py::test_neus_batched_query",
+    "test_model_classes.py::test_dynamic_generative_neus_model",
+    "test_forest_brick.py::test_forest_model_brick_backend_train_step",
 }
 
 
