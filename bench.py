@@ -13,9 +13,13 @@ first — headline fwd/fwdbwd (the metric value), the fast-math A/B (cheap,
 advisor r04), then the production-regime train/render jobs (w4 compressed
 NeuS train first), then 3DGS, then the remaining microbench ablations.
 Every stderr line carries elapsed seconds so a truncated run shows where
-the window went. The persistent compilation cache (/tmp/jax_cache) is
-pre-warmed at the end of each build round — a warm driver run spends
-seconds, not minutes, per section.
+the window went. NOTE on the compile cache: /tmp/jax_cache persists and
+is populated, but measured round-5 A/B (fwd section: 915 s cold vs
+1385 s "warm") shows the axon tunnel's SERVER-side compile dominates and
+is NOT cached locally — section times are tunnel-weather, not
+cache-state. BENCH_BUILDER_r05.json therefore commits a full builder-run
+record (rc=0, every section) alongside whatever the driver window
+captures.
 
 Baseline (BASELINE.md): reference CUDA LoTD forward, 8-level Dense+Hash
 hash-only fast path, 3.6M points, fp32-in/fp16-params → 1.24 ms ≈
