@@ -31,7 +31,10 @@ import pytest  # noqa: E402
 # interpret config, XLA custom-vjp path, or a sibling model test), so the
 # fast set's component reach is unchanged — only depth/scale moves to the
 # slow lane. List = every test >30 s in the round-5 full-suite timing run
-# (3,900 s of the 5,549 s total).
+# plus ten 20-30 s redundant siblings (~4,150 s of the 5,549 s total).
+# Measured fast lane: 321 tests in 24:36 on this 4-core builder host
+# (round-5 run, TPU probe sharing the box); on an idle 8+-core runner
+# the same set is the <15-min default CI lane.
 _SLOW = {
     "test_lotd_brick4.py::test_bwd_kernel_interpret_parity",
     "test_lotd_brick4.py::test_second_order_interpret_parity",
