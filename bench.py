@@ -266,6 +266,36 @@ def main():
             100 * detail["fwd_gather_gbytes_per_s"] / 820.0, 1)
         emit()
 
+    # ---------------- S1b: the production train step (w4 compressed NeuS)
+    # — THE competitive gate (VERDICT r04 #1/#3). Placed before everything
+    # else the window might lose: with tunnel-weather section times of
+    # 400-900 s this is the 3rd thing a ~2000 s driver window captures. --
+    def _load_bench_render():
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "bench_render", os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "experiments", "bench_render.py"))
+        br = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(br)
+        return br
+
+    br = None
+    if not cpu_fallback and not over_budget("train_w4"):
+        try:
+            br = _load_bench_render()
+            detail["train_step_neus_compressed_w4_krays"] = round(
+                br.main_train(use_brick=True,
+                              kind="neus_compressed_w4") / 1e3, 1)
+            note(f"train_step_neus_compressed_w4_krays = "
+                 f"{detail['train_step_neus_compressed_w4_krays']}")
+        except Exception as e:
+            note(f"train_step_neus_compressed_w4_krays FAILED: {e!r}")
+            detail["train_step_neus_compressed_w4_krays_error"] = \
+                repr(e)[:300]
+        emit()
+
     # ---------------- S2: fast-math A/B (advisor r04: run EARLY; it is
     # one fwd + one fwdbwd measure, cheap relative to the render jobs) ----
     if not cpu_fallback and not over_budget("fastmath"):
@@ -296,21 +326,11 @@ def main():
     try:
         if over_budget("render/train"):
             raise TimeoutError
-        import importlib.util
-
-        spec = importlib.util.spec_from_file_location(
-            "bench_render", os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "experiments", "bench_render.py"))
-        br = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(br)
+        if br is None:
+            br = _load_bench_render()
         render_jobs = [
             # ordered by competitive value — a driver SIGTERM keeps the
-            # prefix. The w4 compressed NeuS train step is the production
-            # configuration (examples default: f32-exact kernel dots).
-            ("train_step_neus_compressed_w4_krays",
-             lambda: br.main_train(use_brick=True,
-                                   kind="neus_compressed_w4")),
+            # prefix (the w4 production train step already ran as S1b)
             ("render_fwd_brick_compressed_krays",
              lambda: br.main(use_brick=True, mode="march_occ_compressed")),
             ("render_fwd_brick4_compressed_krays",
